@@ -1,0 +1,250 @@
+"""Frozen configuration dataclasses for the ergodic-exploration engine.
+
+Replaces the reference's ROS parameter server + per-robot YAML configs
+(reference: ``config/cart.yaml`` / ``config/omni.yaml`` loaded in the node
+main, SURVEY.md section 4.1 — ~40 scalar params). Everything is hashable so a
+config can be a static argument to ``jax.jit``.
+
+The YAML loader (:func:`load_yaml_config`) accepts the reference's parameter
+names so a reference user can carry their config files over.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class CartParams:
+    """Differential-drive ("cart") kinematic parameters.
+
+    Reference: the ``Cart`` model functor (wheel_radius, wheel_base ctor
+    args; SURVEY.md section 3, cart row). Defaults are turtlebot3-class.
+    """
+
+    wheel_radius: float = 0.033
+    wheel_base: float = 0.16
+
+
+@dataclass(frozen=True)
+class OmniParams:
+    """Mecanum ("omni") kinematic parameters.
+
+    Reference: the ``Omni`` model functor (4 mecanum wheels -> body twist;
+    SURVEY.md section 3, omni row). ``lx``/``ly`` are the half-distances from
+    the body center to the wheel axles along x/y.
+    """
+
+    wheel_radius: float = 0.0505
+    lx: float = 0.28
+    ly: float = 0.2665
+
+
+@dataclass(frozen=True)
+class DwaConfig:
+    """Dynamic-window-approach fallback parameters.
+
+    Reference: ``DynamicWindow`` ctor (accel limits, sample counts, DWA
+    horizon/dt; SURVEY.md sections 3 and A.6). Candidates are sampled in body
+    twist space (vx, vy, omega) — a ``vy`` sample count of 1 restricts to the
+    cart's non-holonomic window.
+    """
+
+    acc_lim: Tuple[float, float, float] = (1.0, 1.0, 2.0)  # (ax, ay, a_omega)
+    samples: Tuple[int, int, int] = (5, 1, 11)  # (n_vx, n_vy, n_omega)
+    vel_lim: Tuple[float, float, float] = (0.3, 0.3, 1.0)  # |vx|,|vy|,|omega| caps
+    horizon: int = 10  # rollout steps per candidate
+    dt: float = 0.1
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Full controller + engine configuration.
+
+    Mirrors (and extends, for the batched/TPU side) the reference's rosparam
+    set listed in SURVEY.md section 4.1: dt, horizon, exploration weight,
+    basis size, buffer sizes, control limits, R diagonal, wheel geometry,
+    collision radii, DWA parameters.
+    """
+
+    # --- model (L2) ---
+    model: str = "cart"  # "cart" | "omni"
+    cart: CartParams = CartParams()
+    omni: OmniParams = OmniParams()
+
+    # --- horizon / integration ---
+    dt: float = 0.1
+    horizon: int = 20
+
+    # --- ergodic core (L3) ---
+    num_basis: int = 10  # K modes per spatial dim -> K^2 coefficients
+    ergodic_weight: float = 20.0  # gamma: weight on the ergodic gradient
+    barrier_weight: float = 1.0  # beta: weight on barrier gradients
+    r_diag: Tuple[float, ...] = (1.0, 1.0)  # diag of R (len = model nu)
+    u_min: Tuple[float, ...] = (-6.0, -6.0)
+    u_max: Tuple[float, ...] = (6.0, 6.0)
+    grid_samples: Tuple[int, int] = (100, 100)  # phi sample lattice (Ns = prod)
+
+    # --- trajectory history (replay buffer) ---
+    buffer_capacity: int = 1024
+    buffer_batch: Optional[int] = None  # None: use all valid entries
+    history: str = "ring"  # "ring" (reference parity) | "accumulate" (O(K^2) fast path)
+
+    # --- collision / barrier (L1 world + costs) ---
+    boundary_radius: float = 0.2  # robot footprint radius [m]
+    occupied_threshold: float = 0.65  # occupancy prob above which a cell is an obstacle
+    barrier_eps: float = 0.05  # boundary-barrier activation margin [m]
+    barrier_boundary_weight: float = 25.0
+    barrier_obstacle_weight: float = 0.05
+    d_safe: float = 0.5  # obstacle barrier active when clearance < d_safe [m]
+
+    # --- validation + DWA fallback (L4) ---
+    val_horizon: int = 10
+    val_dt: float = 0.1
+    dwa: DwaConfig = DwaConfig()
+
+    # --- numerics / scale-out ---
+    precision: str = "fp32"  # "fp32" | "bf16" (bf16 basis matmul inputs, fp32 accum)
+    use_pallas: bool = True  # fused ergodic-reduction kernel where profitable
+
+    @property
+    def nx(self) -> int:
+        return 3
+
+    @property
+    def nu(self) -> int:
+        return 2 if self.model == "cart" else 4
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+    def validate(self) -> "EngineConfig":
+        if self.model not in ("cart", "omni"):
+            raise ValueError(f"unknown model {self.model!r}")
+        if len(self.r_diag) != self.nu or len(self.u_min) != self.nu or len(self.u_max) != self.nu:
+            raise ValueError(
+                f"r_diag/u_min/u_max must have length nu={self.nu} for model {self.model!r}"
+            )
+        if self.history not in ("ring", "accumulate"):
+            raise ValueError(f"unknown history mode {self.history!r}")
+        if self.horizon < 1 or self.num_basis < 1:
+            raise ValueError("horizon and num_basis must be >= 1")
+        return self
+
+
+def default_config(model: str = "cart") -> EngineConfig:
+    """Config with per-model defaults filled in (control dims, limits)."""
+    if model == "cart":
+        return EngineConfig(model="cart").validate()
+    if model == "omni":
+        return EngineConfig(
+            model="omni",
+            r_diag=(1.0, 1.0, 1.0, 1.0),
+            u_min=(-6.0,) * 4,
+            u_max=(6.0,) * 4,
+        ).validate()
+    raise ValueError(f"unknown model {model!r}")
+
+
+# Mapping from reference-style rosparam names (SURVEY.md section 4.1) to
+# EngineConfig fields. Scalars only; tuples are handled explicitly below.
+_REFERENCE_PARAM_MAP = {
+    "dt": "dt",
+    "horizon": "horizon",
+    "num_basis": "num_basis",
+    "expl_weight": "ergodic_weight",
+    "gamma": "ergodic_weight",
+    "barrier_weight": "barrier_weight",
+    "buffer_size": "buffer_capacity",
+    "batch_size": "buffer_batch",
+    "boundary_radius": "boundary_radius",
+    "occupied_threshold": "occupied_threshold",
+    "val_horizon": "val_horizon",
+    "val_dt": "val_dt",
+}
+
+
+def load_yaml_config(path_or_dict) -> EngineConfig:
+    """Build an :class:`EngineConfig` from a reference-style YAML file or dict.
+
+    Accepts the reference's parameter names (``expl_weight``, ``buffer_size``,
+    ``wheel_radius`` ...) as well as native field names, so reference
+    ``config/*.yaml`` files carry over (SURVEY.md section 6, config row).
+    """
+    if isinstance(path_or_dict, dict):
+        raw = dict(path_or_dict)
+    else:
+        import yaml
+
+        with open(path_or_dict) as f:
+            raw = yaml.safe_load(f) or {}
+
+    model = raw.pop("model", "cart")
+    cfg = default_config(model)
+    updates = {}
+
+    # model geometry
+    if model == "cart":
+        cart = cfg.cart
+        if "wheel_radius" in raw:
+            cart = dataclasses.replace(cart, wheel_radius=float(raw.pop("wheel_radius")))
+        if "wheel_base" in raw:
+            cart = dataclasses.replace(cart, wheel_base=float(raw.pop("wheel_base")))
+        updates["cart"] = cart
+    else:
+        omni = cfg.omni
+        if "wheel_radius" in raw:
+            omni = dataclasses.replace(omni, wheel_radius=float(raw.pop("wheel_radius")))
+        if "lx" in raw:
+            omni = dataclasses.replace(omni, lx=float(raw.pop("lx")))
+        if "ly" in raw:
+            omni = dataclasses.replace(omni, ly=float(raw.pop("ly")))
+        updates["omni"] = omni
+
+    # control limits / R: accept scalars (broadcast) or lists
+    nu = cfg.nu
+    for yaml_key, field in (("control_min", "u_min"), ("control_max", "u_max"),
+                            ("u_min", "u_min"), ("u_max", "u_max"),
+                            ("r", "r_diag"), ("r_diag", "r_diag")):
+        if yaml_key in raw:
+            v = raw.pop(yaml_key)
+            updates[field] = tuple(float(x) for x in v) if hasattr(v, "__len__") else (float(v),) * nu
+
+    if "grid_samples" in raw:
+        v = raw.pop("grid_samples")
+        updates["grid_samples"] = tuple(int(x) for x in v) if hasattr(v, "__len__") else (int(v),) * 2
+
+    dwa_kw = {}
+    for k in ("acc_lim", "samples", "vel_lim"):
+        if f"dwa_{k}" in raw:
+            dwa_kw[k] = tuple(raw.pop(f"dwa_{k}"))
+    if "dwa_horizon" in raw:
+        dwa_kw["horizon"] = int(raw.pop("dwa_horizon"))
+    if "dwa_dt" in raw:
+        dwa_kw["dt"] = float(raw.pop("dwa_dt"))
+    if dwa_kw:
+        updates["dwa"] = dataclasses.replace(cfg.dwa, **dwa_kw)
+
+    field_names = {f.name for f in dataclasses.fields(EngineConfig)}
+    for key, val in list(raw.items()):
+        field = _REFERENCE_PARAM_MAP.get(key, key if key in field_names else None)
+        if field is None:
+            continue  # ignore ROS-only params (frame ids, topic names, frequency)
+        ftype = EngineConfig.__dataclass_fields__[field].type
+        if field in ("horizon", "num_basis", "buffer_capacity", "val_horizon"):
+            updates[field] = int(val)
+        elif field == "buffer_batch":
+            updates[field] = None if val is None else int(val)
+        elif field in ("history", "precision", "model"):
+            updates[field] = str(val)
+        elif field == "use_pallas":
+            updates[field] = bool(val)
+        elif field == "grid_samples":
+            pass
+        else:
+            updates[field] = float(val)
+        del ftype
+
+    return cfg.replace(**updates).validate()
