@@ -82,14 +82,20 @@ class EngineConfig:
     num_basis: int = 10  # K modes per spatial dim -> K^2 coefficients
     ergodic_weight: float = 20.0  # gamma: weight on the ergodic gradient
     barrier_weight: float = 1.0  # beta: weight on barrier gradients
-    r_diag: Tuple[float, ...] = (1.0, 1.0)  # diag of R (len = model nu)
+    # diag of R (len = model nu). The natural scale is (wheel-map gain)^2:
+    # u = -R^-1 B^T rho with B entries ~ wheel_radius/2, so R ~ 1 would make
+    # the update two orders of magnitude too timid for turtlebot-class wheels.
+    r_diag: Tuple[float, ...] = (0.001, 0.001)
     u_min: Tuple[float, ...] = (-6.0, -6.0)
     u_max: Tuple[float, ...] = (6.0, 6.0)
     grid_samples: Tuple[int, int] = (100, 100)  # phi sample lattice (Ns = prod)
 
     # --- trajectory history (replay buffer) ---
     buffer_capacity: int = 1024
-    buffer_batch: Optional[int] = None  # None: use all valid entries
+    # Bounded by default: with unbounded history the ergodic gradient scales
+    # as 1/M and the controls decay to zero (the robot stalls after a few
+    # hundred ticks). The reference likewise samples a bounded batch.
+    buffer_batch: Optional[int] = 100  # None: use all valid entries
     history: str = "ring"  # "ring" (reference parity) | "accumulate" (O(K^2) fast path)
 
     # --- collision / barrier (L1 world + costs) ---
@@ -101,6 +107,7 @@ class EngineConfig:
     d_safe: float = 0.5  # obstacle barrier active when clearance < d_safe [m]
 
     # --- validation + DWA fallback (L4) ---
+    enable_safety: bool = True  # False: skip validation + DWA (pure ergodic step)
     val_horizon: int = 10
     val_dt: float = 0.1
     dwa: DwaConfig = DwaConfig()
@@ -141,7 +148,7 @@ def default_config(model: str = "cart") -> EngineConfig:
     if model == "omni":
         return EngineConfig(
             model="omni",
-            r_diag=(1.0, 1.0, 1.0, 1.0),
+            r_diag=(0.001,) * 4,
             u_min=(-6.0,) * 4,
             u_max=(6.0,) * 4,
         ).validate()

@@ -1,0 +1,223 @@
+"""The receding-horizon ergodic controller — one jitted solve per tick.
+
+Reference capability: ``ErgodicControl<ModelT>::control(grid, x) -> u``
+(``ergodic_control.hpp``): per tick, refresh target coefficients, RK4-roll
+the warm-started control sequence, compute trajectory coefficients over
+[history || rollout], the ergodic-measure gradient, barrier gradients,
+integrate the co-state backward, update u = sat(-R^-1 B^T rho), validate the
+emitted control, and fall back to DWA on collision (SURVEY.md sections 2 L3,
+4.2 — the hot path — and Appendix A; one descent step per replan, warm
+started, receding-horizon SAC style).
+
+TPU-first redesign:
+- The controller is a hashable dataclass of pure functions; ``step`` is one
+  fused computation (rollout scan -> basis matmuls -> backward scan ->
+  saturation -> masked safety select) that jits once and vmaps over
+  thousands of scenarios (the engine adds vmap/shard_map).
+- The branchy reference logic (collision enum, DWA fallback) is computed
+  unconditionally and selected with ``jnp.where`` — batch-uniform control
+  flow (SURVEY.md section 8).
+- History enters c_k either as a reference-parity ring buffer or as an O(K^2)
+  running basis-sum ("accumulate" mode, the TPU fast path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ergodic_exploration_tpu.config import EngineConfig
+from ergodic_exploration_tpu.grid import Domain
+from ergodic_exploration_tpu.models import make_model
+from ergodic_exploration_tpu.ops import basis
+from ergodic_exploration_tpu.ops.barrier import barrier
+from ergodic_exploration_tpu.ops.buffer import RingBuffer
+from ergodic_exploration_tpu.ops.collision import CRASH, validate_control
+from ergodic_exploration_tpu.ops.distance import DistanceField
+from ergodic_exploration_tpu.ops.dwa import dwa_control
+from ergodic_exploration_tpu.ops.integrator import costate_solve, rollout
+
+
+class World(NamedTuple):
+    """Per-scenario world data, refreshed per replan (batch with vmap)."""
+
+    domain: Domain
+    dist: DistanceField
+
+    @staticmethod
+    def empty(domain: Domain, shape=(2, 2)) -> "World":
+        """Obstacle-free world over ``domain`` (configs 1 and 2)."""
+        return World(domain=domain, dist=DistanceField.empty(shape, origin=domain.origin))
+
+
+class ControllerState(NamedTuple):
+    """Warm-started solver state for one scenario — a tiny pytree, so it is
+    cheap to donate, checkpoint, and re-shard (SURVEY.md section 6)."""
+
+    U: jnp.ndarray  # (H, nu) control sequence
+    buffer: RingBuffer  # visited-state history (ring mode)
+    ck_sum: jnp.ndarray  # (K, K) running sum of F_k over visited states (accumulate mode)
+    hist_count: jnp.ndarray  # () int32
+    rng: jnp.ndarray  # PRNG key (buffer subsampling)
+
+
+class StepDiagnostics(NamedTuple):
+    ergodic_metric: jnp.ndarray  # ()
+    barrier_cost: jnp.ndarray  # () mean barrier value along the horizon
+    collision_code: jnp.ndarray  # () int32 validation result for u0
+    dwa_active: jnp.ndarray  # () bool: emitted control came from DWA
+    dwa_feasible: jnp.ndarray  # () bool
+
+
+@dataclass(frozen=True)
+class ErgodicController:
+    """Single-scenario ergodic MPC. Hashable; close over it in jit."""
+
+    config: EngineConfig
+
+    def __post_init__(self):
+        self.config.validate()
+
+    @property
+    def model(self):
+        return make_model(self.config)
+
+    # ------------------------------------------------------------------
+    # state management
+    # ------------------------------------------------------------------
+
+    def init_state(self, rng=None) -> ControllerState:
+        cfg = self.config
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        K = cfg.num_basis
+        return ControllerState(
+            U=jnp.zeros((cfg.horizon, cfg.nu), dtype=jnp.float32),
+            buffer=RingBuffer.create(cfg.buffer_capacity),
+            ck_sum=jnp.zeros((K, K), dtype=jnp.float32),
+            hist_count=jnp.zeros((), dtype=jnp.int32),
+            rng=rng,
+        )
+
+    # ------------------------------------------------------------------
+    # target helper
+    # ------------------------------------------------------------------
+
+    def target_coefficients(self, phi_vals, points, domain: Domain):
+        """phi_k from normalized phi samples (reference ``spatialCoeff``)."""
+        cfg = self.config
+        tbl = basis.tables(points, cfg.num_basis, domain)
+        hk = basis.hk_norm(cfg.num_basis, domain.lengths)
+        return basis.coefficients(tbl, phi_vals, hk)
+
+    # ------------------------------------------------------------------
+    # the hot path: one replan tick (SURVEY.md section 4.2)
+    # ------------------------------------------------------------------
+
+    def step(self, state: ControllerState, x, vb, phik, world: World):
+        """One ergodic-MPC iteration.
+
+        Args:
+            state: warm-started ControllerState.
+            x: (3,) current pose.
+            vb: (3,) current body twist (DWA accel-window center).
+            phik: (K, K) target coefficients (see ``target_coefficients``).
+            world: domain + distance field.
+
+        Returns:
+            (new_state, u_cmd (nu,), StepDiagnostics)
+        """
+        cfg = self.config
+        model = self.model
+        K = cfg.num_basis
+        H = cfg.horizon
+        domain = world.domain
+
+        lam = basis.lambda_weights(K)
+        hk = basis.hk_norm(K, domain.lengths)
+
+        # 1. forward rollout of the warm-started sequence
+        X = rollout(model, x, state.U, cfg.dt)  # (H+1, 3)
+        knots = X[:-1]  # states x_0..x_{H-1}, aligned with u_0..u_{H-1}
+        P = knots[:, :2]
+        tbl_roll = basis.tables(P, K, domain)
+
+        # 2. trajectory coefficients over [history || rollout]
+        rng, sub = jax.random.split(state.rng)
+        roll_sum = basis.coefficients(tbl_roll, jnp.ones(H, dtype=X.dtype), hk)
+        if cfg.history == "ring":
+            tbl_buf = basis.tables(state.buffer.states, K, domain)
+            w_buf = state.buffer.sample_mask(cfg.buffer_batch, sub)  # (cap,)
+            hist_sum = basis.coefficients(tbl_buf, w_buf, hk)
+            n_hist = jnp.sum(w_buf)
+        else:  # accumulate
+            hist_sum = state.ck_sum
+            n_hist = state.hist_count.astype(jnp.float32)
+        M = n_hist + H
+        ck = (hist_sum + roll_sum) / M
+
+        # 3. ergodic gradient at the rollout knots
+        e = basis.ergodic_gradient(tbl_roll, ck, phik, lam, hk, M)  # (H, 2)
+
+        # 4. barrier value + gradient at the knots
+        bval, bgrad = barrier(P, domain, world.dist, cfg)
+
+        # 5. co-state backward sweep
+        g_xy = cfg.ergodic_weight * e + cfg.barrier_weight * bgrad
+        gs = jnp.concatenate([g_xy, jnp.zeros((H, 1), dtype=g_xy.dtype)], axis=-1)
+        As = model.A(knots, state.U)  # (H, 3, 3)
+        rho = costate_solve(As, gs, cfg.dt)  # (H, 3)
+
+        # 6. control update u = sat(-R^-1 B^T rho)
+        Bs = model.B(knots, state.U)  # (H, 3, nu)
+        r_inv = 1.0 / jnp.asarray(cfg.r_diag, dtype=jnp.float32)
+        u_star = -jnp.einsum("tiu,ti->tu", Bs, rho) * r_inv[None, :]
+        u_min = jnp.asarray(cfg.u_min, dtype=jnp.float32)
+        u_max = jnp.asarray(cfg.u_max, dtype=jnp.float32)
+        U_new = jnp.clip(u_star, u_min[None, :], u_max[None, :])
+        u0 = U_new[0]
+
+        # 7. safety: validate u0; DWA fallback on predicted collision (A.7)
+        if cfg.enable_safety:
+            code = validate_control(model, x, u0, domain, world.dist, cfg)
+            u_dwa, feasible = dwa_control(model, x, vb, u0, domain, world.dist, cfg)
+            use_dwa = code >= CRASH
+            u_cmd = jnp.where(use_dwa, u_dwa, u0)
+        else:
+            code = jnp.zeros((), dtype=jnp.int32)
+            feasible = jnp.ones((), dtype=bool)
+            use_dwa = jnp.zeros((), dtype=bool)
+            u_cmd = u0
+
+        # 8. warm start next tick: shift left, pad zero (reference shift rule)
+        U_next = jnp.concatenate([U_new[1:], jnp.zeros((1, cfg.nu), dtype=U_new.dtype)])
+
+        # 9. history: append the ACTUAL current pose (A.7)
+        p_now = x[:2]
+        new_buffer = state.buffer.append(p_now)
+        tbl_now = basis.tables(p_now[None, :], K, domain)
+        ck_sum = state.ck_sum + basis.coefficients(tbl_now, jnp.ones(1, dtype=X.dtype), hk)
+
+        new_state = ControllerState(
+            U=U_next,
+            buffer=new_buffer,
+            ck_sum=ck_sum,
+            hist_count=state.hist_count + 1,
+            rng=rng,
+        )
+        diag = StepDiagnostics(
+            ergodic_metric=basis.ergodic_metric(ck, phik, lam),
+            barrier_cost=jnp.mean(bval),
+            collision_code=code,
+            dwa_active=use_dwa,
+            dwa_feasible=feasible,
+        )
+        return new_state, u_cmd, diag
+
+    def predicted_path(self, state: ControllerState, x):
+        """Forward-simulated path for the current sequence (RViz-path parity:
+        the reference publishes this as ``nav_msgs/Path``)."""
+        return rollout(self.model, x, state.U, self.config.dt)

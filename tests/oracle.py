@@ -245,3 +245,36 @@ def obstacle_barrier_value(d, d_safe, weight, d_min):
     if d >= d_safe:
         return 0.0
     return weight * (1.0 / d - 1.0 / d_safe) ** 2
+
+
+# ----------------------------------------------------------------------------
+# Full controller tick (A.4 update law) — obstacle-free world
+# ----------------------------------------------------------------------------
+
+
+def ergodic_step(f, A_fn, B_fn, x0, U, dt, phik, K, origin, lengths, hist_points,
+                 gamma, barrier_weight, b_weight, b_eps, r_diag, u_min, u_max):
+    """One full ergodic-MPC update (boundary barrier only): returns
+    (U_new, rhos, metric). Mirrors the jitted controller's contract:
+    knots = X[0..H-1], c_k over [hist || knots], rho_H = 0 backward RK4 with
+    frozen per-step coefficients, u = clip(-R^-1 B^T rho)."""
+    H = len(U)
+    X = rollout(f, x0, U, dt)
+    knots = X[:-1]
+    P = knots[:, :2]
+    allpts = list(hist_points) + list(P)
+    M = len(allpts)
+    ck = trajectory_coefficients(allpts, K, origin, lengths)
+    e = ergodic_gradient(P, ck, phik, K, origin, lengths, M)
+    gs = np.zeros((H, 3))
+    for t in range(H):
+        bg = boundary_barrier_grad(P[t], origin, lengths, b_eps, b_weight)
+        gs[t, :2] = gamma * e[t] + barrier_weight * bg
+    As = np.stack([A_fn(knots[t], U[t]) for t in range(H)])
+    rhos = costate_solve(As, gs, dt)
+    U_new = np.zeros_like(np.asarray(U, dtype=np.float64))
+    for t in range(H):
+        B = B_fn(knots[t], U[t])
+        U_new[t] = np.clip(-(B.T @ rhos[t]) / np.asarray(r_diag), u_min, u_max)
+    metric = ergodic_metric(ck, phik, K)
+    return U_new, rhos, metric

@@ -1,0 +1,92 @@
+"""DWA fallback tests: window geometry, feasibility masking, never-collide."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ergodic_exploration_tpu.config import default_config
+from ergodic_exploration_tpu.grid import Domain, GridMap
+from ergodic_exploration_tpu.models import make_model
+from ergodic_exploration_tpu.ops.collision import CRASH, validate_control
+from ergodic_exploration_tpu.ops.distance import DistanceField
+from ergodic_exploration_tpu.ops.dwa import candidate_twists, dwa_control
+from ergodic_exploration_tpu.ops.integrator import rollout
+
+
+def _open_world():
+    dom = Domain.create(0.0, 0.0, 5.0, 5.0)
+    return dom, DistanceField.empty((4, 4))
+
+
+def _walled_world():
+    """Wall across x = 2.0..2.1, domain 4x4 m."""
+    raw = np.zeros((40, 40), dtype=np.int8)
+    raw[:, 20] = 100
+    g = GridMap.from_ros(raw, 0.0, 0.0, 0.1)
+    return g.domain(), DistanceField.from_grid(g)
+
+
+def test_candidate_twists_window():
+    cfg = default_config("cart")
+    vb = jnp.array([0.2, 0.0, 0.0])
+    tws = np.asarray(candidate_twists(vb, cfg.dwa))
+    nvx, nvy, nw = cfg.dwa.samples
+    assert tws.shape == (nvx * nvy * nw, 3)
+    ax, _, aw = cfg.dwa.acc_lim
+    assert tws[:, 0].min() >= 0.2 - ax * cfg.dwa.dt - 1e-6
+    assert tws[:, 0].max() <= 0.2 + ax * cfg.dwa.dt + 1e-6
+    assert (tws[:, 1] == 0.0).all()  # cart: vy collapsed to zero
+
+
+def test_open_world_returns_reference_control():
+    """No obstacles and u_ref realizable inside the window -> DWA returns
+    (approximately) the reference control itself."""
+    cfg = default_config("cart")
+    model = make_model(cfg)
+    dom, f = _open_world()
+    x = jnp.array([2.5, 2.5, 0.0])
+    vb = jnp.array([0.1, 0.0, 0.0])
+    # reference = a twist that is exactly one of the candidates: vb center
+    u_ref = model.from_twist(vb)
+    u, feasible = dwa_control(model, x, vb, u_ref, dom, f, cfg)
+    assert bool(feasible)
+    np.testing.assert_allclose(
+        np.asarray(model.twist(u)), np.asarray(vb), atol=1e-5
+    )
+
+
+def test_dwa_avoids_wall():
+    """Driving straight at a wall: the ergodic control crashes in validation,
+    the DWA pick must not."""
+    import dataclasses
+
+    cfg = default_config("cart").replace(boundary_radius=0.15)
+    # open the accel window enough that "slow down to a stop" is reachable
+    cfg = cfg.replace(dwa=dataclasses.replace(cfg.dwa, acc_lim=(3.0, 1.0, 5.0)))
+    model = make_model(cfg)
+    dom, f = _walled_world()
+    x = jnp.array([1.75, 2.0, 0.0])  # facing the wall at x~2.05
+    vb = jnp.array([0.3, 0.0, 0.0])
+    u_ref = model.from_twist(jnp.array([0.3, 0.0, 0.0]))
+    assert int(validate_control(model, x, u_ref, dom, f, cfg)) == CRASH
+    u, feasible = dwa_control(model, x, vb, u_ref, dom, f, cfg)
+    assert bool(feasible)
+    U = jnp.tile(u[None, :], (cfg.dwa.horizon, 1))
+    X = rollout(model, x, U, cfg.dwa.dt)
+    d, _ = f.query(X[1:, :2])
+    assert float(jnp.min(d)) > cfg.boundary_radius
+
+
+def test_dwa_infeasible_stops():
+    """Boxed in on all sides -> zero control."""
+    raw = np.zeros((30, 30), dtype=np.int8)
+    raw[12:18, 12:18] = 100
+    raw[14:16, 14:16] = 0  # tiny pocket
+    g = GridMap.from_ros(raw, 0.0, 0.0, 0.1)
+    cfg = default_config("cart").replace(boundary_radius=0.3)
+    model = make_model(cfg)
+    f = DistanceField.from_grid(g)
+    x = jnp.array([1.5, 1.5, 0.0])
+    vb = jnp.array([0.3, 0.0, 0.0])
+    u, feasible = dwa_control(model, x, vb, model.from_twist(vb), g.domain(), f, cfg)
+    assert not bool(feasible)
+    np.testing.assert_allclose(np.asarray(u), 0.0)

@@ -1,0 +1,92 @@
+"""Target-distribution tests: GMM vs oracle, entropy/MI map semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ergodic_exploration_tpu.grid import GridMap
+from ergodic_exploration_tpu.ops import target
+
+import oracle
+
+RNG = np.random.default_rng(4)
+
+
+def _gmm():
+    mus = np.array([[1.0, 1.0], [2.5, 0.5]])
+    covs = np.array([[[0.1, 0.02], [0.02, 0.2]], [[0.3, 0.0], [0.0, 0.1]]])
+    w = np.array([0.7, 0.3])
+    return mus, covs, w
+
+
+def test_gmm_eval_matches_oracle():
+    mus, covs, w = _gmm()
+    pts = RNG.uniform(0, 3, size=(30, 2))
+    g = target.GaussianMixture.create(mus, covs, w)
+    got = np.asarray(target.gmm_eval(jnp.asarray(pts, jnp.float32), g))
+    want = oracle.gmm_phi(pts, mus, covs, w)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_gmm_create_diag_covs():
+    g = target.GaussianMixture.create([[0.0, 0.0]], np.array([[0.5, 0.2]]))
+    assert g.covs.shape == (1, 2, 2)
+    np.testing.assert_allclose(np.asarray(g.covs[0]), [[0.5, 0.0], [0.0, 0.2]])
+
+
+def test_normalize_phi_sums_to_one_and_masks():
+    vals = jnp.asarray(RNG.uniform(0, 1, 20), jnp.float32)
+    mask = jnp.asarray(RNG.uniform(0, 1, 20) > 0.3)
+    phi = target.normalize_phi(vals, mask)
+    np.testing.assert_allclose(float(jnp.sum(phi)), 1.0, atol=1e-6)
+    assert float(jnp.max(jnp.where(mask, 0.0, phi))) == 0.0
+
+
+def test_normalize_phi_degenerate_falls_back_to_uniform():
+    phi = target.normalize_phi(jnp.zeros(10))
+    np.testing.assert_allclose(np.asarray(phi), 0.1, atol=1e-6)
+
+
+def test_entropy_matches_oracle():
+    p = np.linspace(0.01, 0.99, 17)
+    got = np.asarray(target.entropy(jnp.asarray(p, jnp.float32)))
+    np.testing.assert_allclose(got, oracle.cell_entropy(p), atol=1e-4)
+
+
+def test_mi_map_semantics():
+    raw = np.zeros((8, 8), dtype=np.int8)
+    raw[0:4, :] = -1  # unknown half
+    raw[6, 6] = 100  # one wall cell
+    g = GridMap.from_ros(raw, 0.0, 0.0, 0.1)
+    mi = np.asarray(target.mutual_information_map(g))
+    assert mi[1, 1] > mi[5, 1]  # unknown >> known free
+    assert mi[6, 6] == 0.0  # occupied zeroed
+    np.testing.assert_allclose(mi[1, 1], np.log(2.0), atol=1e-4)  # H(0.5)
+
+
+def test_mi_target_values_normalized_and_evolving():
+    raw = -np.ones((10, 10), dtype=np.int8)
+    g0 = GridMap.from_ros(raw, 0.0, 0.0, 0.5)
+    pts = g0.domain().sample_lattice((10, 10))
+    phi0 = target.mi_target_values(g0, pts)
+    np.testing.assert_allclose(float(jnp.sum(phi0)), 1.0, atol=1e-5)
+    # reveal a block as free: its information drops
+    raw2 = raw.copy()
+    raw2[0:5, 0:5] = 0
+    g1 = GridMap.from_ros(raw2, 0.0, 0.0, 0.5)
+    phi1 = target.mi_target_values(g1, pts)
+    p_revealed = jnp.array([[1.0, 1.0]])
+    v0 = float(target.sample_map_at(target.mutual_information_map(g0), g0, p_revealed)[0])
+    v1 = float(target.sample_map_at(target.mutual_information_map(g1), g1, p_revealed)[0])
+    assert v1 < v0
+    assert not np.allclose(np.asarray(phi0), np.asarray(phi1))
+
+
+def test_box_blur_spreads_information():
+    raw = np.zeros((9, 9), dtype=np.int8)
+    raw[4, 4] = -1  # single unknown cell
+    g = GridMap.from_ros(raw, 0.0, 0.0, 0.1)
+    mi0 = np.asarray(target.mutual_information_map(g, sensor_radius_cells=0))
+    mi2 = np.asarray(target.mutual_information_map(g, sensor_radius_cells=2))
+    assert mi0[4, 0] < 1e-4  # known free: only the entropy-clip floor
+    assert mi2[4, 2] > 1e-3  # blurred footprint reaches neighbors
+    np.testing.assert_allclose(mi0.sum(), mi2.sum(), rtol=0.05)  # roughly conserved
