@@ -1,0 +1,137 @@
+"""Headline benchmark: batched ergodic-MPC solves/s/chip + p50 replan latency.
+
+Prints ONE JSON line with the BASELINE.json primary metric:
+"ergodic-MPC solves/s/chip at H=20, 10k grid samples; p50 replan latency".
+
+Each benchmarked solve is the reference's FULL per-tick work (SURVEY.md
+section 4.2): target refresh over the 10k-sample lattice (phi_k), RK4
+rollout (H=20), history-augmented c_k, ergodic gradient, barrier gradients
+against a real obstacle map's distance field, backward co-state RK4 sweep,
+control update + saturation, validation, and the batched DWA fallback.
+
+vs_baseline: the build target is >= 4096 solves/s on a v5e-16 (BASELINE.md),
+i.e. 256 solves/s/chip; vs_baseline = achieved solves/s/chip / 256.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build_case(S: int, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from ergodic_exploration_tpu.config import default_config
+    from ergodic_exploration_tpu.engine import Engine
+    from ergodic_exploration_tpu.grid import Domain, GridMap
+    from ergodic_exploration_tpu.ops import target as target_ops
+
+    cfg = default_config("cart")  # K=10, H=20, dt=0.1, grid_samples 100x100
+    assert cfg.horizon == 20 and cfg.grid_samples == (100, 100)
+    engine = Engine(cfg)
+    domain = Domain.create(0.0, 0.0, 5.0, 5.0)
+
+    rng = np.random.default_rng(seed)
+    x0 = np.concatenate(
+        [rng.uniform(0.5, 4.5, (S, 2)), rng.uniform(-np.pi, np.pi, (S, 1))], axis=1
+    ).astype(np.float32)
+
+    # obstacle map shared across scenarios (wall + pillar), batched EDT world
+    data = np.zeros((100, 100), dtype=np.float32)
+    data[45:50, 20:80] = 1.0
+    data[70:78, 60:68] = 1.0
+    grids = GridMap(
+        data=jnp.broadcast_to(jnp.asarray(data), (S, 100, 100)),
+        origin=jnp.zeros((S, 2), jnp.float32),
+        resolution=jnp.full((S,), 0.05, jnp.float32),
+    )
+    world = engine.prepare_world(grids, domain=None)
+
+    means = rng.uniform(1.0, 4.0, (S, 2, 2)).astype(np.float32)
+    gmm = target_ops.GaussianMixture.create(
+        means=means,
+        covs=np.tile((0.3 * np.eye(2, dtype=np.float32))[None, None], (S, 2, 1, 1)),
+        weights=np.ones((S, 2), np.float32),
+    )
+    sc = engine.init_scenarios(x0)
+    return engine, sc, gmm, domain, world
+
+
+# NOTE on timing methodology: on this TPU attachment, jax.block_until_ready
+# returns at RPC-enqueue, not device completion, and a host readback carries
+# a ~30 ms tunnel round trip. So all timings chain many steps with ONE final
+# scalar readback (the readback forces completion of the whole dependency
+# chain), and latency is derived from chain-length differences so the fixed
+# round trip cancels.
+
+
+def _run_chain(step, sc, gmm, domain, world, iters):
+    """Time `iters` serially-dependent steps; one forced readback at the end."""
+    t0 = time.perf_counter()
+    u = None
+    for _ in range(iters):
+        sc, u, diag = step(sc, gmm, domain, world)
+    total = float(u.sum())  # forces the whole chain to completion
+    dt = time.perf_counter() - t0
+    assert np.isfinite(total), "non-finite controls"
+    return dt, sc
+
+
+def bench_throughput(S=4096, iters=50):
+    import jax
+
+    engine, sc, gmm, domain, world = build_case(S)
+    step = jax.jit(engine._refresh_and_replan_fn, donate_argnums=(0,))
+
+    sc, u, diag = step(sc, gmm, domain, world)  # compile + warm
+    float(u.sum())
+    dt, sc = _run_chain(step, sc, gmm, domain, world, iters)
+    return S * iters / dt
+
+
+def bench_latency(n=32):
+    """Per-replan device latency for a single scenario: chain-difference
+    (t(2n) - t(n)) / n cancels the fixed tunnel round trip."""
+    import jax
+
+    engine, sc, gmm, domain, world = build_case(1)
+    step = jax.jit(engine._refresh_and_replan_fn)
+
+    out = step(sc, gmm, domain, world)
+    float(out[1].sum())
+
+    samples = []
+    for _ in range(5):
+        t1, _ = _run_chain(step, sc, gmm, domain, world, n)
+        t2, _ = _run_chain(step, sc, gmm, domain, world, 2 * n)
+        samples.append((t2 - t1) / n)
+    return float(np.median(samples) * 1e3)
+
+
+def main():
+    import jax
+
+    dev = jax.devices()[0]
+    solves_per_s = bench_throughput()
+    p50_ms = bench_latency()
+    target_per_chip = 4096.0 / 16.0  # BASELINE: 4096 solves/s on v5e-16
+    print(
+        json.dumps(
+            {
+                "metric": "ergodic_mpc_solves_per_s_per_chip",
+                "value": round(solves_per_s, 1),
+                "unit": "solves/s/chip (H=20, 10k grid samples, obstacles+DWA)",
+                "vs_baseline": round(solves_per_s / target_per_chip, 2),
+                "p50_replan_latency_ms": round(p50_ms, 3),
+                "latency_budget_ms": 100.0,
+                "batch": 4096,
+                "device": str(dev.platform),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,267 @@
+"""The batched engine: thousands of ergodic-MPC scenarios per step on a mesh.
+
+This is the build-side replacement for the reference's ROS node (SURVEY.md
+section 2 L5 and section 4.1): instead of one robot replanning at 10 Hz over
+TCPROS, the engine exposes an array-in/array-out API —
+
+    engine = Engine(config, mesh)
+    sc     = engine.init_scenarios(x0s)                  # batched pytree
+    sc, us, diags = engine.replan(sc, phiks, world)      # one tick, jitted
+    out    = engine.explore(sc, phiks, world, n_ticks)   # closed loop on-device
+
+Parallelism (SURVEY.md section 3 "Parallelism inventory"):
+- Scenario parallelism ("DP"): every batched array carries a leading
+  ``scenario`` axis laid out over the mesh's ``scenario`` dimension with
+  ``NamedSharding``. Each scenario's solve is independent — XLA partitions
+  the whole step with zero cross-scenario communication, which is exactly
+  the reference workload repeated 4096x.
+- Cross-host: the same code runs under ``jax.distributed.initialize`` with a
+  multi-host mesh; the leading axis then spans hosts (DCN) transparently.
+
+Solver state is donated across ticks, so warm-started control sequences and
+replay buffers never round-trip through HBM copies.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ergodic_exploration_tpu.config import EngineConfig
+from ergodic_exploration_tpu.controller import ControllerState, ErgodicController, World
+from ergodic_exploration_tpu.grid import Domain, GridMap
+from ergodic_exploration_tpu.ops import target as target_ops
+from ergodic_exploration_tpu.ops.distance import DistanceField
+from ergodic_exploration_tpu.ops.integrator import rollout
+
+
+class Scenarios(NamedTuple):
+    """Batched solver state: one entry per (map, start-pose) scenario."""
+
+    state: ControllerState  # leaves with leading (S, ...) axis
+    x: jnp.ndarray  # (S, 3) poses
+    vb: jnp.ndarray  # (S, 3) body twists
+
+
+class ExploreOutput(NamedTuple):
+    scenarios: Scenarios  # final state after n_ticks
+    trajectory: jnp.ndarray  # (T, S, 3) poses over time
+    controls: jnp.ndarray  # (T, S, nu) emitted controls
+    ergodic_metric: jnp.ndarray  # (T, S)
+    dwa_active: jnp.ndarray  # (T, S) bool
+    collision_code: jnp.ndarray  # (T, S) int32
+
+
+class Engine:
+    """Batched, mesh-sharded ergodic-MPC engine.
+
+    Args:
+        config: controller configuration (static; triggers recompilation on
+            change, like the reference's rosparam load at node startup).
+        mesh: optional ``jax.sharding.Mesh`` with a ``scenario`` axis. When
+            None, runs unsharded on the default device (single-chip mode).
+    """
+
+    SCENARIO_AXIS = "scenario"
+
+    def __init__(self, config: EngineConfig, mesh: Optional[Mesh] = None):
+        self.config = config.validate()
+        self.controller = ErgodicController(config)
+        self.mesh = mesh
+        if mesh is not None and self.SCENARIO_AXIS not in mesh.axis_names:
+            raise ValueError(f"mesh must have a {self.SCENARIO_AXIS!r} axis, got {mesh.axis_names}")
+
+        ctrl = self.controller
+        model = ctrl.model
+        dt = config.dt
+
+        def _tick(state, x, vb, phik, world):
+            """One replan + one dt of real motion (the closed-loop body)."""
+            state, u, diag = ctrl.step(state, x, vb, phik, world)
+            x_next = rollout(model, x, u[None, :], dt)[-1]
+            vb_next = model.twist(u)
+            return state, x_next, vb_next, u, diag
+
+        self._step_one = ctrl.step
+        self._tick_one = _tick
+
+        # batched cores (scenario axis = leading axis everywhere)
+        self._replan_batched = jax.vmap(ctrl.step)
+        self._tick_batched = jax.vmap(_tick)
+
+        self._replan_jit = self._shard_jit(self._replan_fn, donate=(0,))
+        self._explore_jit = self._shard_jit(self._explore_fn, static_argnums=(3,), donate=(0,))
+
+    # ------------------------------------------------------------------
+    # sharding plumbing
+    # ------------------------------------------------------------------
+
+    def _sharding(self, spec):
+        return NamedSharding(self.mesh, spec)
+
+    def shard_scenarios(self, tree):
+        """Lay a batched pytree out over the mesh's scenario axis."""
+        if self.mesh is None:
+            return tree
+        sh = self._sharding(P(self.SCENARIO_AXIS))
+        return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+    def _shard_jit(self, fn, static_argnums=(), donate=()):
+        if self.mesh is None:
+            return jax.jit(fn, static_argnums=static_argnums, donate_argnums=donate)
+        # Every batched input/output is sharded on its leading scenario axis;
+        # XLA propagates the layout through the whole step (no collectives —
+        # scenarios are independent).
+        return jax.jit(
+            fn,
+            static_argnums=static_argnums,
+            donate_argnums=donate,
+            in_shardings=None,  # inferred from operands laid out by shard_scenarios
+            out_shardings=None,
+        )
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+
+    def init_scenarios(self, x0, vb0=None, rng=None) -> Scenarios:
+        """Batched initial state for poses ``x0`` (S, 3)."""
+        x0 = jnp.asarray(x0, dtype=jnp.float32)
+        S = x0.shape[0]
+        if vb0 is None:
+            vb0 = jnp.zeros((S, 3), dtype=jnp.float32)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        keys = jax.random.split(rng, S)
+        state = jax.vmap(lambda k: self.controller.init_state(k))(keys)
+        return self.shard_scenarios(Scenarios(state=state, x=x0, vb=vb0))
+
+    def prepare_world(self, grids: GridMap, domain: Optional[Domain] = None) -> World:
+        """Batched world preprocessing: EDT + gradient per map (the
+        build-side ``mapCallback``, SURVEY.md section 4.3). ``grids`` leaves
+        carry a leading (S, ...) axis."""
+        cfg = self.config
+
+        def one(g: GridMap) -> World:
+            dom = g.domain() if domain is None else domain
+            return World(domain=dom, dist=DistanceField.from_grid(g, cfg.occupied_threshold))
+
+        return self.shard_scenarios(jax.jit(jax.vmap(one))(grids))
+
+    def empty_world(self, domain: Domain, n: int) -> World:
+        """Obstacle-free batched world (configs 1 and 2)."""
+        one = World.empty(domain)
+        return self.shard_scenarios(jax.tree.map(lambda a: jnp.broadcast_to(a, (n,) + a.shape), one))
+
+    def _phik_from_gmm_fn(self, gmm, domain: Domain) -> jnp.ndarray:
+        """Pure batched target-coefficient computation (traceable).
+
+        Shared-domain fast path: when ``domain`` is unbatched, the sample
+        lattice and the dense basis table D (N, K^2) are scenario-invariant,
+        so the whole batch reduces in one (S, N) @ (N, K^2) MXU matmul —
+        this is the "10k grid samples" reduction of the headline metric laid
+        out the TPU way (no per-scenario (N, K) tables)."""
+        from ergodic_exploration_tpu.ops import basis
+
+        cfg = self.config
+        K = cfg.num_basis
+        if domain.origin.ndim == 1:  # shared domain -> dense-table path
+            pts = domain.sample_lattice(cfg.grid_samples)
+            tbl = basis.tables(pts, K, domain)
+            hk = basis.hk_norm(K, domain.lengths)
+            D = basis.dense_table(tbl, hk)
+            phi = jax.vmap(lambda g: target_ops.gmm_target_values(pts, g))(gmm)  # (S, N)
+            return basis.coefficients_dense(phi, D, K)
+
+        def one(g, dom):
+            pts = dom.sample_lattice(cfg.grid_samples)
+            phi = target_ops.gmm_target_values(pts, g)
+            return self.controller.target_coefficients(phi, pts, dom)
+
+        return jax.vmap(one)(gmm, domain)
+
+    def phik_from_gmm(self, gmm, domain: Domain) -> jnp.ndarray:
+        """Batched target coefficients for GMM targets; gmm leaves (S, ...)."""
+        return self.shard_scenarios(jax.jit(self._phik_from_gmm_fn)(gmm, domain))
+
+    def phik_from_grid(self, grids: GridMap, sensor_radius_cells: int = 0) -> jnp.ndarray:
+        """Batched mutual-information target coefficients recomputed from the
+        (evolving) occupancy grids — BASELINE config 4."""
+        cfg = self.config
+
+        def one(g: GridMap):
+            dom = g.domain()
+            pts = dom.sample_lattice(cfg.grid_samples)
+            phi = target_ops.mi_target_values(g, pts, sensor_radius_cells)
+            return self.controller.target_coefficients(phi, pts, dom)
+
+        return self.shard_scenarios(
+            jax.jit(jax.vmap(one, in_axes=(0,)), static_argnums=())(grids)
+        )
+
+    # ------------------------------------------------------------------
+    # the batched API
+    # ------------------------------------------------------------------
+
+    def _replan_fn(self, sc: Scenarios, phik, world: World):
+        state, u, diag = self._replan_batched(sc.state, sc.x, sc.vb, phik, world)
+        return Scenarios(state=state, x=sc.x, vb=sc.vb), u, diag
+
+    def replan(self, sc: Scenarios, phik, world: World):
+        """One batched replan tick: (S,) solves -> (S, nu) controls.
+
+        Does NOT advance the poses — mirror of the reference's per-tick
+        ``control()`` call; the host (or :meth:`explore`) owns the plant.
+        """
+        return self._replan_jit(sc, phik, world)
+
+    def _refresh_and_replan_fn(self, sc: Scenarios, gmm, domain: Domain, world: World):
+        """Target refresh (10k-sample phi_k reduction) + batched solve in one
+        trace — the reference's FULL per-tick work (SURVEY.md section 4.2
+        step 1 + steps 2-7). This is the benchmarked 'solve'."""
+        phik = self._phik_from_gmm_fn(gmm, domain)
+        return self._replan_fn(sc, phik, world)
+
+    def _explore_fn(self, sc: Scenarios, phik, world: World, n_ticks: int):
+        def body(carry, _):
+            state, x, vb = carry
+            state, x2, vb2, u, diag = self._tick_batched(state, x, vb, phik, world)
+            out = (x2, u, diag.ergodic_metric, diag.dwa_active, diag.collision_code)
+            return (state, x2, vb2), out
+
+        (state, x, vb), (X, Us, Es, Dw, Cc) = jax.lax.scan(
+            body, (sc.state, sc.x, sc.vb), None, length=n_ticks
+        )
+        return ExploreOutput(
+            scenarios=Scenarios(state=state, x=x, vb=vb),
+            trajectory=X,
+            controls=Us,
+            ergodic_metric=Es,
+            dwa_active=Dw,
+            collision_code=Cc,
+        )
+
+    def explore(self, sc: Scenarios, phik, world: World, n_ticks: int) -> ExploreOutput:
+        """Closed-loop batched exploration, entirely on-device.
+
+        Each tick = replan + apply the emitted control for one dt through
+        the true kinematics (the reference's node loop + robot plant,
+        SURVEY.md section 4.2, fused into one ``lax.scan``).
+        """
+        return self._explore_jit(sc, phik, world, n_ticks)
+
+
+def make_scenario_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the scenario axis (single- or multi-host; under
+    ``jax.distributed.initialize`` ``jax.devices()`` spans all hosts)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devices), (Engine.SCENARIO_AXIS,))

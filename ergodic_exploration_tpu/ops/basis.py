@@ -96,6 +96,28 @@ def fourier_basis_at(tbl: BasisTables, hk):
     return (tbl.Cx[:, :, None] * tbl.Cy[:, None, :]) / hk[None, :, :]
 
 
+def dense_table(tbl: BasisTables, hk):
+    """Flattened dense basis table D[n, k1*K + k2] = F_k(p_n): (N, K^2).
+
+    For a sample lattice SHARED across scenarios (the common batched-target
+    case) this is the TPU-native phi_k layout: computed once (~K^2 * N * 4
+    bytes), after which a batch of targets reduces in ONE (S, N) @ (N, K^2)
+    MXU matmul — no per-scenario (N, K) tables and no (S, N, K)
+    intermediates. See Engine.phik_from_gmm.
+    """
+    N, K = tbl.Cx.shape
+    return fourier_basis_at(tbl, hk).reshape(N, K * K)
+
+
+def coefficients_dense(phi_batch, D, K: int):
+    """Batched coefficients via the dense table: (S, N) @ (N, K^2) -> (S, K, K).
+
+    fp32 accumulation (parity budget, SURVEY.md section 8)."""
+    S = phi_batch.shape[0]
+    out = jnp.matmul(phi_batch, D, precision=_EXACT, preferred_element_type=jnp.float32)
+    return out.reshape(S, K, K)
+
+
 def ergodic_metric(ck, phik, lam):
     """E = sum_k Lambda_k (c_k - phi_k)^2."""
     d = ck - phik
