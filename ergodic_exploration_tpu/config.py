@@ -99,6 +99,11 @@ class EngineConfig:
     history: str = "ring"  # "ring" (reference parity) | "accumulate" (O(K^2) fast path)
 
     # --- collision / barrier (L1 world + costs) ---
+    # Side length (cells) of the local distance-field window used for ALL
+    # per-tick map queries (barrier knots, validation, DWA) — must cover the
+    # robot's one-tick reachable set plus d_safe (~1.2 m at 5 cm cells).
+    # Map access outside the patch clamps to its edge. See ops/patch.py.
+    patch_cells: int = 48
     boundary_radius: float = 0.2  # robot footprint radius [m]
     occupied_threshold: float = 0.65  # occupancy prob above which a cell is an obstacle
     barrier_eps: float = 0.05  # boundary-barrier activation margin [m]

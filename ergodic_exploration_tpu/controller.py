@@ -38,6 +38,7 @@ from ergodic_exploration_tpu.ops.buffer import RingBuffer
 from ergodic_exploration_tpu.ops.collision import CRASH, validate_control
 from ergodic_exploration_tpu.ops.distance import DistanceField
 from ergodic_exploration_tpu.ops.dwa import dwa_control
+from ergodic_exploration_tpu.ops.patch import extract_patch
 from ergodic_exploration_tpu.ops.integrator import costate_solve, rollout
 
 
@@ -139,6 +140,11 @@ class ErgodicController:
         lam = basis.lambda_weights(K)
         hk = basis.hk_norm(K, domain.lengths)
 
+        # Local distance-field window around the pose: every map query this
+        # tick (barrier knots, validation, DWA candidates) goes through it
+        # as one-hot/hat matmuls — no TPU gathers (ops/patch.py).
+        patch = extract_patch(world.dist, x[:2], cfg.patch_cells)
+
         # 1. forward rollout of the warm-started sequence
         X = rollout(model, x, state.U, cfg.dt)  # (H+1, 3)
         knots = X[:-1]  # states x_0..x_{H-1}, aligned with u_0..u_{H-1}
@@ -163,7 +169,7 @@ class ErgodicController:
         e = basis.ergodic_gradient(tbl_roll, ck, phik, lam, hk, M)  # (H, 2)
 
         # 4. barrier value + gradient at the knots
-        bval, bgrad = barrier(P, domain, world.dist, cfg)
+        bval, bgrad = barrier(P, domain, patch, cfg)
 
         # 5. co-state backward sweep
         g_xy = cfg.ergodic_weight * e + cfg.barrier_weight * bgrad
@@ -182,8 +188,8 @@ class ErgodicController:
 
         # 7. safety: validate u0; DWA fallback on predicted collision (A.7)
         if cfg.enable_safety:
-            code = validate_control(model, x, u0, domain, world.dist, cfg)
-            u_dwa, feasible = dwa_control(model, x, vb, u0, domain, world.dist, cfg)
+            code = validate_control(model, x, u0, domain, patch, cfg)
+            u_dwa, feasible = dwa_control(model, x, vb, u0, domain, patch, cfg)
             use_dwa = code >= CRASH
             u_cmd = jnp.where(use_dwa, u_dwa, u0)
         else:

@@ -94,6 +94,20 @@ class DistanceField(NamedTuple):
             dist=d, grad=jnp.stack([gx, gy], axis=-1), origin=grid.origin, resolution=grid.resolution
         )
 
+    def query_dist(self, p):
+        """Nearest-cell clearance at world points (..., 2): ONE gather.
+
+        The collision/DWA hot path needs only the distance (no gradient, no
+        sub-cell interpolation — the reference's Bresenham cell search is
+        cell-quantized too). The bilinear 4-corner + gradient
+        :meth:`query` costs ~12 gathers/point; this costs 1.
+        """
+        h, w = self.dist.shape
+        rel = (p - self.origin) / self.resolution - 0.5
+        ix = jnp.clip(jnp.round(rel[..., 0]).astype(jnp.int32), 0, w - 1)
+        iy = jnp.clip(jnp.round(rel[..., 1]).astype(jnp.int32), 0, h - 1)
+        return self.dist[iy, ix]
+
     def query(self, p):
         """Bilinear clearance + gradient at world points (..., 2).
 

@@ -65,6 +65,8 @@ def dwa_control(model, x, vb, u_ref, domain, dist_field, cfg):
         (u (nu,), feasible (bool)). Infeasible -> zero control (stop), per
         A.6's "stop command if none feasible".
     """
+    from ergodic_exploration_tpu.ops.integrator import constant_twist_poses
+
     dwa = cfg.dwa
     tws = candidate_twists(vb, dwa)  # (C, 3)
     us = model.from_twist(tws)  # (C, nu)
@@ -72,13 +74,14 @@ def dwa_control(model, x, vb, u_ref, domain, dist_field, cfg):
     # twist so the cost compares what would actually be executed.
     tws_real = model.twist(us)
 
-    def eval_candidate(u):
-        U = jnp.tile(u[None, :], (dwa.horizon, 1))
-        X = rollout(model, x, U, dwa.dt)
-        code = check_trajectory(X[1:, :2], domain, dist_field, cfg.boundary_radius, cfg.d_safe)
-        return code
-
-    codes = jax.vmap(eval_candidate)(us)  # (C,)
+    # Constant-twist candidates integrate in closed form: all C x T poses in
+    # one vectorized op (no per-candidate RK4 scan), then one clearance
+    # gather per pose. This was the batched-throughput bottleneck.
+    ts = dwa.dt * jnp.arange(1, dwa.horizon + 1, dtype=jnp.float32)
+    X = constant_twist_poses(x[None, :], tws_real, ts)  # (C, T, 3)
+    codes = jax.vmap(
+        lambda P: check_trajectory(P, domain, dist_field, cfg.boundary_radius, cfg.d_safe)
+    )(X[..., :2])  # (C,)
     tw_ref = model.twist(u_ref)
     cost = jnp.sum((tws_real - tw_ref[None, :]) ** 2, axis=-1)
     cost = jnp.where(codes >= CRASH, INFEASIBLE_COST, cost)

@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ergodic_exploration_tpu.utils.numerics import wrap_state_angle
+from ergodic_exploration_tpu.utils.numerics import normalize_angle, wrap_state_angle
 
 
 def rk4_step(f, x, u, dt):
@@ -97,3 +97,44 @@ def costate_solve(As, gs, dt):
     # positions, so `rhos` is already [rho_0 .. rho_{H-1}].
     _, rhos = jax.lax.scan(body, rho_T, (As, gs), reverse=True)
     return rhos
+
+
+def constant_twist_poses(x0, tw, ts):
+    """Exact poses under a constant BODY twist — the closed-form arc.
+
+    For a constant body twist (vx, vy, w), the pose ODE
+    pdot = R(theta) (vx, vy), thetadot = w integrates in closed form:
+
+        theta(t) = theta0 + w t
+        p(t)     = p0 + R(theta0) [ vx a(t) - vy b(t), vx b(t) + vy a(t) ]
+        a(t) = sin(w t)/w,  b(t) = (1 - cos(w t))/w     (limits t, w t^2/2)
+
+    Used for the DWA candidate rollouts and the emitted-control validation
+    loop, where the reference holds the control constant anyway — this
+    replaces H sequential RK4 scan steps with one vectorized evaluation
+    (exact, and the scans were the TPU throughput bottleneck: tiny per-step
+    compute, serial dependency).
+
+    Args:
+        x0: (..., 3) start pose.
+        tw: (..., 3) body twist (vx, vy, omega).
+        ts: (T,) times at which to evaluate (e.g. dt * [1..T]).
+
+    Returns:
+        (..., T, 3) poses.
+    """
+    vx, vy, w = tw[..., 0:1], tw[..., 1:2], tw[..., 2:3]  # (..., 1)
+    th0 = x0[..., 2:3]
+    wt = w * ts  # (..., T)
+    s, c = jnp.sin(wt), jnp.cos(wt)
+    small = jnp.abs(w) < 1e-6
+    w_safe = jnp.where(small, 1.0, w)
+    a = jnp.where(small, ts * (1.0 - wt * wt / 6.0), s / w_safe)
+    b = jnp.where(small, w * ts * ts * 0.5, (1.0 - c) / w_safe)
+    dx_b = vx * a - vy * b
+    dy_b = vx * b + vy * a
+    c0, s0 = jnp.cos(th0), jnp.sin(th0)
+    px = x0[..., 0:1] + c0 * dx_b - s0 * dy_b
+    py = x0[..., 1:2] + s0 * dx_b + c0 * dy_b
+    th = normalize_angle(th0 + wt)
+    return jnp.stack([px, py, th], axis=-1)
