@@ -71,6 +71,7 @@ class StepDiagnostics(NamedTuple):
     collision_code: jnp.ndarray  # () int32 validation result for u0
     dwa_active: jnp.ndarray  # () bool: emitted control came from DWA
     dwa_feasible: jnp.ndarray  # () bool
+    diverged: jnp.ndarray  # () bool: non-finite solve; scenario was reset
 
 
 @dataclass(frozen=True)
@@ -198,6 +199,15 @@ class ErgodicController:
             use_dwa = jnp.zeros((), dtype=bool)
             u_cmd = u0
 
+        # 7b. divergence guard (SURVEY.md section 6, failure detection): a
+        # non-finite solve (exploding co-state, bad map data) resets THIS
+        # scenario's control sequence to zeros and emits a stop command —
+        # the reference's implicit fresh-start behavior, done per-scenario
+        # and branch-free so one bad scenario cannot poison the batch.
+        diverged = ~(jnp.all(jnp.isfinite(U_new)) & jnp.all(jnp.isfinite(u_cmd)))
+        U_new = jnp.where(diverged, 0.0, U_new)
+        u_cmd = jnp.where(diverged, 0.0, u_cmd)
+
         # 8. warm start next tick: shift left, pad zero (reference shift rule)
         U_next = jnp.concatenate([U_new[1:], jnp.zeros((1, cfg.nu), dtype=U_new.dtype)])
 
@@ -220,6 +230,7 @@ class ErgodicController:
             collision_code=code,
             dwa_active=use_dwa,
             dwa_feasible=feasible,
+            diverged=diverged,
         )
         return new_state, u_cmd, diag
 

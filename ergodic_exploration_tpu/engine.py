@@ -32,7 +32,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ergodic_exploration_tpu.config import EngineConfig
-from ergodic_exploration_tpu.controller import ControllerState, ErgodicController, World
+from ergodic_exploration_tpu.controller import (
+    ControllerState,
+    ErgodicController,
+    StepDiagnostics,
+    World,
+)
 from ergodic_exploration_tpu.grid import Domain, GridMap
 from ergodic_exploration_tpu.ops import target as target_ops
 from ergodic_exploration_tpu.ops.distance import DistanceField
@@ -51,9 +56,11 @@ class ExploreOutput(NamedTuple):
     scenarios: Scenarios  # final state after n_ticks
     trajectory: jnp.ndarray  # (T, S, 3) poses over time
     controls: jnp.ndarray  # (T, S, nu) emitted controls
-    ergodic_metric: jnp.ndarray  # (T, S)
-    dwa_active: jnp.ndarray  # (T, S) bool
-    collision_code: jnp.ndarray  # (T, S) int32
+    diag: "StepDiagnostics"  # full per-tick diagnostics, leaves (T, S)
+
+    @property
+    def ergodic_metric(self):
+        return self.diag.ergodic_metric
 
 
 class Engine:
@@ -204,6 +211,30 @@ class Engine:
         )
 
     # ------------------------------------------------------------------
+    # checkpoint / resume (SURVEY.md section 6)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path: str, sc: Scenarios) -> None:
+        """Snapshot the full batched solver state to ``path`` (.npz)."""
+        from ergodic_exploration_tpu.utils.checkpoint import save_pytree
+
+        save_pytree(path, sc)
+
+    def load_checkpoint(self, path: str) -> Scenarios:
+        """Restore :class:`Scenarios` saved by :meth:`save_checkpoint`,
+        re-laid-out over this engine's mesh (device topology may differ
+        from the run that wrote the file)."""
+        import numpy as np
+
+        from ergodic_exploration_tpu.utils.checkpoint import load_pytree
+
+        with np.load(path) as data:
+            # every Scenarios leaf has the scenario count as its leading axis
+            S = data[sorted(data.files)[0]].shape[0]
+        like = self.init_scenarios(np.zeros((S, 3), np.float32))
+        return self.shard_scenarios(load_pytree(path, like))
+
+    # ------------------------------------------------------------------
     # the batched API
     # ------------------------------------------------------------------
 
@@ -230,19 +261,16 @@ class Engine:
         def body(carry, _):
             state, x, vb = carry
             state, x2, vb2, u, diag = self._tick_batched(state, x, vb, phik, world)
-            out = (x2, u, diag.ergodic_metric, diag.dwa_active, diag.collision_code)
-            return (state, x2, vb2), out
+            return (state, x2, vb2), (x2, u, diag)
 
-        (state, x, vb), (X, Us, Es, Dw, Cc) = jax.lax.scan(
+        (state, x, vb), (X, Us, D) = jax.lax.scan(
             body, (sc.state, sc.x, sc.vb), None, length=n_ticks
         )
         return ExploreOutput(
             scenarios=Scenarios(state=state, x=x, vb=vb),
             trajectory=X,
             controls=Us,
-            ergodic_metric=Es,
-            dwa_active=Dw,
-            collision_code=Cc,
+            diag=D,
         )
 
     def explore(self, sc: Scenarios, phik, world: World, n_ticks: int) -> ExploreOutput:

@@ -73,8 +73,8 @@ def test_explore_runs_and_improves_coverage():
     assert out.controls.shape == (60, S, cfg.nu)
     assert bool(jnp.all(jnp.isfinite(out.trajectory)))
     # the ergodic metric must drop for every scenario over the run
-    e0 = np.asarray(out.ergodic_metric[0])
-    e1 = np.asarray(out.ergodic_metric[-1])
+    e0 = np.asarray(out.diag.ergodic_metric[0])
+    e1 = np.asarray(out.diag.ergodic_metric[-1])
     assert np.all(e1 < e0)
     # poses advance under warm-started controls
     moved = np.linalg.norm(np.asarray(out.trajectory[-1, :, :2]) - x0[:, :2], axis=1)
