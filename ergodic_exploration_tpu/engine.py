@@ -74,6 +74,7 @@ class Engine:
     """
 
     SCENARIO_AXIS = "scenario"
+    SAMPLE_AXIS = "sample"
 
     def __init__(self, config: EngineConfig, mesh: Optional[Mesh] = None):
         self.config = config.validate()
@@ -193,7 +194,58 @@ class Engine:
 
     def phik_from_gmm(self, gmm, domain: Domain) -> jnp.ndarray:
         """Batched target coefficients for GMM targets; gmm leaves (S, ...)."""
+        if self.mesh is not None and self.SAMPLE_AXIS in self.mesh.axis_names and domain.origin.ndim == 1:
+            return self.phik_from_gmm_sample_sharded(gmm, domain)
         return self.shard_scenarios(jax.jit(self._phik_from_gmm_fn)(gmm, domain))
+
+    def phik_from_gmm_sample_sharded(self, gmm, domain: Domain) -> jnp.ndarray:
+        """phi_k with the GRID-SAMPLE axis sharded across the mesh's
+        ``sample`` dimension — this project's sequence-parallelism analog
+        (SURVEY.md sections 3 and 6: the "long axis" is the 10k-sample
+        ergodic reduction, combined with ICI ``psum`` collectives).
+
+        Layout: sample lattice and dense basis table D split over
+        ``sample``; each device evaluates its phi shard, a first psum forms
+        the global normalizer, a second psum reduces the (S, K^2) partial
+        coefficient products. Requires an unbatched (shared) domain.
+        """
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+
+        from ergodic_exploration_tpu.ops import basis
+
+        cfg = self.config
+        K = cfg.num_basis
+        mesh = self.mesh
+        pts = domain.sample_lattice(cfg.grid_samples)  # (N, 2)
+        tbl = basis.tables(pts, K, domain)
+        hk = basis.hk_norm(K, domain.lengths)
+        D = basis.dense_table(tbl, hk)  # (N, K^2)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                jax.tree.map(lambda _: P(self.SCENARIO_AXIS), gmm),
+                P(self.SAMPLE_AXIS, None),
+                P(self.SAMPLE_AXIS, None),
+            ),
+            out_specs=P(self.SCENARIO_AXIS, None, None),
+        )
+        def block(gmm_blk, pts_blk, D_blk):
+            phi_un = jax.vmap(lambda g: target_ops.gmm_eval(pts_blk, g))(gmm_blk)
+            phi_un = jnp.maximum(phi_un, 0.0)  # (S_blk, N_blk)
+            total = jax.lax.psum(jnp.sum(phi_un, axis=1), self.SAMPLE_AXIS)  # (S_blk,)
+            phi = phi_un / jnp.maximum(total, 1e-12)[:, None]
+            partial_ck = jnp.matmul(
+                phi, D_blk, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            ck = jax.lax.psum(partial_ck, self.SAMPLE_AXIS)  # (S_blk, K^2)
+            return ck.reshape(ck.shape[0], K, K)
+
+        return jax.jit(block)(gmm, pts, D)
 
     def phik_from_grid(self, grids: GridMap, sensor_radius_cells: int = 0) -> jnp.ndarray:
         """Batched mutual-information target coefficients recomputed from the
@@ -293,3 +345,17 @@ def make_scenario_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     import numpy as np
 
     return Mesh(np.array(devices), (Engine.SCENARIO_AXIS,))
+
+
+def make_mesh(n_scenario: int, n_sample: int = 1, devices=None) -> Mesh:
+    """2-D (scenario, sample) mesh: scenario-parallel solves with the grid-
+    sample reduction optionally sharded across ``n_sample`` devices each."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    need = n_scenario * n_sample
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.array(devices[:need]).reshape(n_scenario, n_sample)
+    return Mesh(arr, (Engine.SCENARIO_AXIS, Engine.SAMPLE_AXIS))

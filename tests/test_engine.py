@@ -149,3 +149,30 @@ def test_phik_from_grid_mi_target():
     # uniform-unknown map -> symmetric phi -> phik mass at k=(0,0); knowing
     # the left half shifts target mass right -> coefficients must move
     assert float(jnp.max(jnp.abs(p1 - p2))) > 1e-4
+
+
+def test_sample_axis_sharded_phik_matches():
+    """SP analog: phi_k reduction sharded over a (scenario=4, sample=2) mesh
+    with psum combine equals the unsharded computation."""
+    from ergodic_exploration_tpu.engine import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = _cfg()
+    mesh = make_mesh(4, 2)
+    eng_m = Engine(cfg, mesh=mesh)
+    eng_1 = Engine(cfg)
+    S = 8
+    rng = np.random.default_rng(1)
+    gmm = target.GaussianMixture.create(
+        means=rng.uniform(0.3, 1.7, (S, 2, 2)).astype(np.float32),
+        covs=np.tile((0.1 * np.eye(2, dtype=np.float32))[None, None], (S, 2, 1, 1)),
+        weights=np.ones((S, 2), np.float32),
+    )
+    p_m = eng_m.phik_from_gmm(gmm, DOM)
+    p_1 = eng_1.phik_from_gmm(gmm, DOM)
+    np.testing.assert_allclose(np.asarray(p_m), np.asarray(p_1), rtol=1e-5, atol=1e-6)
+    # the full engine still runs on the 2-D mesh (scenario axis only)
+    x0 = np.concatenate([rng.uniform(0.3, 1.7, (S, 2)), rng.uniform(-3, 3, (S, 1))], axis=1)
+    out = eng_m.explore(eng_m.init_scenarios(x0), p_m, eng_m.empty_world(DOM, S), 5)
+    assert bool(jnp.all(jnp.isfinite(out.trajectory)))
