@@ -156,9 +156,9 @@ class ErgodicController:
         rng, sub = jax.random.split(state.rng)
         roll_sum = basis.coefficients(tbl_roll, jnp.ones(H, dtype=X.dtype), hk)
         if cfg.history == "ring":
-            tbl_buf = basis.tables(state.buffer.states, K, domain)
+            Cbx, Cby = basis.cos_tables(state.buffer.states, K, domain)
             w_buf = state.buffer.sample_mask(cfg.buffer_batch, sub)  # (cap,)
-            hist_sum = basis.coefficients(tbl_buf, w_buf, hk)
+            hist_sum = basis.coefficients_cos(Cbx, Cby, w_buf, hk)
             n_hist = jnp.sum(w_buf)
         else:  # accumulate
             hist_sum = state.ck_sum
@@ -214,8 +214,8 @@ class ErgodicController:
         # 9. history: append the ACTUAL current pose (A.7)
         p_now = x[:2]
         new_buffer = state.buffer.append(p_now)
-        tbl_now = basis.tables(p_now[None, :], K, domain)
-        ck_sum = state.ck_sum + basis.coefficients(tbl_now, jnp.ones(1, dtype=X.dtype), hk)
+        Cnx, Cny = basis.cos_tables(p_now[None, :], K, domain)
+        ck_sum = state.ck_sum + basis.coefficients_cos(Cnx, Cny, jnp.ones(1, dtype=X.dtype), hk)
 
         new_state = ControllerState(
             U=U_next,

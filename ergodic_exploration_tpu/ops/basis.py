@@ -78,6 +78,22 @@ def tables(points, K: int, domain) -> BasisTables:
     return BasisTables(jnp.cos(ax), jnp.sin(ax), jnp.cos(ay), jnp.sin(ay), f1, f2)
 
 
+def cos_tables(points, K: int, domain):
+    """(Cx, Cy) only — for coefficient reductions, which never touch the sin
+    tables; halves the table traffic of the big history reductions."""
+    rel = points - domain.origin
+    a = jnp.pi / domain.lengths
+    k = jnp.arange(K, dtype=points.dtype)
+    return jnp.cos(rel[:, 0:1] * (k * a[0])[None, :]), jnp.cos(rel[:, 1:2] * (k * a[1])[None, :])
+
+
+def coefficients_cos(Cx, Cy, weights, hk):
+    """Weighted basis expectation from cos tables alone; (K, K)."""
+    wc = Cx * weights[:, None]
+    ck = jnp.matmul(wc.T, Cy, precision=_EXACT, preferred_element_type=jnp.float32)
+    return ck / hk
+
+
 def coefficients(tbl: BasisTables, weights, hk):
     """Weighted basis expectation: sum_n w_n F_k(p_n); (K, K).
 

@@ -42,9 +42,14 @@ class RingBuffer(NamedTuple):
         return self.states.shape[0]
 
     def append(self, p) -> "RingBuffer":
-        """Append one visited position (2,); overwrites oldest when full."""
+        """Append one visited position (2,); overwrites oldest when full.
+
+        One-hot blend instead of dynamic_update_slice: XLA lowers batched
+        dynamic updates with traced offsets to the slow TPU scatter path,
+        while the blend is pure elementwise work (round-1 profiling)."""
         cap = self.capacity
-        states = jax.lax.dynamic_update_slice(self.states, p[None, :2], (self.cursor, 0))
+        hot = (jnp.arange(cap) == self.cursor)[:, None]  # (cap, 1)
+        states = jnp.where(hot, p[None, :2], self.states)
         return RingBuffer(
             states=states,
             cursor=(self.cursor + 1) % cap,
@@ -71,5 +76,10 @@ class RingBuffer(NamedTuple):
         # draw `batch` indices uniformly from [0, count); empty buffer -> no weight
         u = jax.random.uniform(rng, (batch,))
         idx = jnp.floor(u * jnp.maximum(self.count, 1).astype(u.dtype)).astype(jnp.int32)
-        counts = jnp.zeros(cap, dtype=jnp.float32).at[idx].add(1.0)
+        # multiplicity counts via comparison-reduce, NOT scatter-add:
+        # .at[idx].add lowers to the slow TPU scatter path under vmap, the
+        # (batch, cap) comparison fuses into one elementwise+reduce loop.
+        counts = jnp.sum(
+            (idx[:, None] == jnp.arange(cap)[None, :]).astype(jnp.float32), axis=0
+        )
         return jnp.where(self.count > 0, counts, jnp.zeros(cap))
