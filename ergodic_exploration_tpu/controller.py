@@ -156,10 +156,17 @@ class ErgodicController:
         rng, sub = jax.random.split(state.rng)
         roll_sum = basis.coefficients(tbl_roll, jnp.ones(H, dtype=X.dtype), hk)
         if cfg.history == "ring":
-            Cbx, Cby = basis.cos_tables(state.buffer.states, K, domain)
-            w_buf = state.buffer.sample_mask(cfg.buffer_batch, sub)  # (cap,)
+            if cfg.buffer_batch is not None:
+                # compacted sampled batch: per-state basis work on `batch`
+                # rows, not `capacity` rows (ops/buffer.py sample_states)
+                s_buf, n_hist = state.buffer.sample_states(cfg.buffer_batch, sub)
+                Cbx, Cby = basis.cos_tables(s_buf, K, domain)
+                w_buf = jnp.full(s_buf.shape[0], jnp.where(n_hist > 0, 1.0, 0.0))
+            else:
+                Cbx, Cby = basis.cos_tables(state.buffer.states, K, domain)
+                w_buf = state.buffer.sample_mask(None, sub)  # (cap,)
+                n_hist = jnp.sum(w_buf)
             hist_sum = basis.coefficients_cos(Cbx, Cby, w_buf, hk)
-            n_hist = jnp.sum(w_buf)
         else:  # accumulate
             hist_sum = state.ck_sum
             n_hist = state.hist_count.astype(jnp.float32)

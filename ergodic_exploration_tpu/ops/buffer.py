@@ -83,3 +83,20 @@ class RingBuffer(NamedTuple):
             (idx[:, None] == jnp.arange(cap)[None, :]).astype(jnp.float32), axis=0
         )
         return jnp.where(self.count > 0, counts, jnp.zeros(cap))
+
+    def sample_states(self, batch: int, rng):
+        """With-replacement batch of states, COMPACTED to (batch, 2).
+
+        Same draw as :meth:`sample_mask` (identical indices for identical
+        rng), but returns the sampled states themselves via a one-hot
+        matmul — downstream per-state work (basis tables) then runs on
+        ``batch`` rows instead of ``capacity`` rows, the hot-path win when
+        batch << capacity. Returns (states (batch, 2), n_valid ()).
+        """
+        cap = self.capacity
+        u = jax.random.uniform(rng, (batch,))
+        idx = jnp.floor(u * jnp.maximum(self.count, 1).astype(u.dtype)).astype(jnp.int32)
+        onehot = (idx[:, None] == jnp.arange(cap)[None, :]).astype(jnp.float32)
+        states = jnp.matmul(onehot, self.states, precision=jax.lax.Precision.HIGHEST)
+        n = jnp.where(self.count > 0, jnp.float32(batch), 0.0)
+        return states, n

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 _EXACT = jax.lax.Precision.HIGHEST
+FAR = 1.0e6  # keep in sync with ops/distance.py
 
 
 class PatchField(NamedTuple):
@@ -99,7 +100,6 @@ def extract_patch(dist_field, center, size: int) -> PatchField:
     with vmap. ``size`` is static; it is clamped to the map extent.
     """
     d = dist_field.dist
-    g = dist_field.grad
     h, w = d.shape
     P = min(size, h, w)
 
@@ -113,8 +113,22 @@ def extract_patch(dist_field, center, size: int) -> PatchField:
     C = (cols[:, None] == jnp.arange(w, dtype=jnp.int32)).astype(d.dtype)  # (P, w)
 
     pd = jnp.matmul(jnp.matmul(R, d, precision=_EXACT), C.T, precision=_EXACT)
-    gw = jnp.matmul(R, g.reshape(h, w * 2), precision=_EXACT).reshape(P, w, 2)
-    pg = jnp.einsum("pwc,qw->pqc", gw, C, precision=_EXACT)
+
+    # Gradient from the PATCH itself (central differences, FAR plateau
+    # zeroed) — the (H, W, 2) global gradient field is never read, saving
+    # 2/3 of the extraction traffic. Matches DistanceField.from_grid in the
+    # patch interior; only cells on the patch border (which the query
+    # clamp keeps outside the bilinear support of reachable points) see
+    # one-sided instead of global-central differences.
+    res = dist_field.resolution
+    gx = (jnp.roll(pd, -1, axis=1) - jnp.roll(pd, 1, axis=1)) / (2.0 * res)
+    gx = gx.at[:, 0].set((pd[:, 1] - pd[:, 0]) / res)
+    gx = gx.at[:, -1].set((pd[:, -1] - pd[:, -2]) / res)
+    gy = (jnp.roll(pd, -1, axis=0) - jnp.roll(pd, 1, axis=0)) / (2.0 * res)
+    gy = gy.at[0, :].set((pd[1, :] - pd[0, :]) / res)
+    gy = gy.at[-1, :].set((pd[-1, :] - pd[-2, :]) / res)
+    far = pd >= FAR
+    pg = jnp.where(far[..., None], 0.0, jnp.stack([gx, gy], axis=-1))
 
     return PatchField(
         dist=pd,
