@@ -103,6 +103,10 @@ class Engine:
 
         self._replan_jit = self._shard_jit(self._replan_fn, donate=(0,))
         self._explore_jit = self._shard_jit(self._explore_fn, static_argnums=(3,), donate=(0,))
+        # cached jitted preprocessing (re-wrapping per call would recompile)
+        self._prepare_world_jit = jax.jit(jax.vmap(self._world_one))
+        self._phik_from_gmm_jit = jax.jit(self._phik_from_gmm_fn)
+        self._phik_grid_jits = {}  # sensor_radius_cells -> jitted batched fn
 
     # ------------------------------------------------------------------
     # sharding plumbing
@@ -148,17 +152,27 @@ class Engine:
         state = jax.vmap(lambda k: self.controller.init_state(k))(keys)
         return self.shard_scenarios(Scenarios(state=state, x=x0, vb=vb0))
 
+    def _world_one(self, g: GridMap) -> World:
+        return World(
+            domain=g.domain(),
+            dist=DistanceField.from_grid(g, self.config.occupied_threshold),
+        )
+
     def prepare_world(self, grids: GridMap, domain: Optional[Domain] = None) -> World:
         """Batched world preprocessing: EDT + gradient per map (the
         build-side ``mapCallback``, SURVEY.md section 4.3). ``grids`` leaves
-        carry a leading (S, ...) axis."""
-        cfg = self.config
+        carry a leading (S, ...) axis. The domain is each map's extent
+        (``domain`` arg kept for backward compatibility; ignored when None)."""
+        if domain is not None:
 
-        def one(g: GridMap) -> World:
-            dom = g.domain() if domain is None else domain
-            return World(domain=dom, dist=DistanceField.from_grid(g, cfg.occupied_threshold))
+            def one(g: GridMap) -> World:
+                return World(
+                    domain=domain,
+                    dist=DistanceField.from_grid(g, self.config.occupied_threshold),
+                )
 
-        return self.shard_scenarios(jax.jit(jax.vmap(one))(grids))
+            return self.shard_scenarios(jax.jit(jax.vmap(one))(grids))
+        return self.shard_scenarios(self._prepare_world_jit(grids))
 
     def empty_world(self, domain: Domain, n: int) -> World:
         """Obstacle-free batched world (configs 1 and 2)."""
@@ -196,7 +210,7 @@ class Engine:
         """Batched target coefficients for GMM targets; gmm leaves (S, ...)."""
         if self.mesh is not None and self.SAMPLE_AXIS in self.mesh.axis_names and domain.origin.ndim == 1:
             return self.phik_from_gmm_sample_sharded(gmm, domain)
-        return self.shard_scenarios(jax.jit(self._phik_from_gmm_fn)(gmm, domain))
+        return self.shard_scenarios(self._phik_from_gmm_jit(gmm, domain))
 
     def phik_from_gmm_sample_sharded(self, gmm, domain: Domain) -> jnp.ndarray:
         """phi_k with the GRID-SAMPLE axis sharded across the mesh's
@@ -247,20 +261,22 @@ class Engine:
 
         return jax.jit(block)(gmm, pts, D)
 
+    def _phik_grid_one(self, g: GridMap, sensor_radius_cells: int = 0):
+        cfg = self.config
+        dom = g.domain()
+        pts = dom.sample_lattice(cfg.grid_samples)
+        phi = target_ops.mi_target_values(g, pts, sensor_radius_cells)
+        return self.controller.target_coefficients(phi, pts, dom)
+
     def phik_from_grid(self, grids: GridMap, sensor_radius_cells: int = 0) -> jnp.ndarray:
         """Batched mutual-information target coefficients recomputed from the
         (evolving) occupancy grids — BASELINE config 4."""
-        cfg = self.config
-
-        def one(g: GridMap):
-            dom = g.domain()
-            pts = dom.sample_lattice(cfg.grid_samples)
-            phi = target_ops.mi_target_values(g, pts, sensor_radius_cells)
-            return self.controller.target_coefficients(phi, pts, dom)
-
-        return self.shard_scenarios(
-            jax.jit(jax.vmap(one, in_axes=(0,)), static_argnums=())(grids)
-        )
+        f = self._phik_grid_jits.get(sensor_radius_cells)
+        if f is None:
+            r = sensor_radius_cells
+            f = jax.jit(jax.vmap(lambda g: self._phik_grid_one(g, r)))
+            self._phik_grid_jits[r] = f
+        return self.shard_scenarios(f(grids))
 
     # ------------------------------------------------------------------
     # checkpoint / resume (SURVEY.md section 6)
@@ -333,6 +349,36 @@ class Engine:
         SURVEY.md section 4.2, fused into one ``lax.scan``).
         """
         return self._explore_jit(sc, phik, world, n_ticks)
+
+    def explore_mapping(self, sc: Scenarios, truth: GridMap, n_ticks: int,
+                        sensor_range: float = 1.5, refresh_every: int = 10,
+                        belief: Optional[GridMap] = None):
+        """Closed-loop exploration WITH online mapping (BASELINE config 4,
+        end-to-end): per-scenario beliefs start unknown, a disc range sensor
+        reveals the hidden ground-truth maps as the robots move, and the
+        mutual-information target + distance field are recomputed from the
+        evolving beliefs every ``refresh_every`` ticks (the reference's
+        ~1 Hz SLAM map cadence against its 10 Hz control loop).
+
+        Returns (ExploreOutput of the final chunk, belief GridMap,
+        coverage (n_refreshes,) fraction-known history).
+        """
+        from ergodic_exploration_tpu.ops import sensor
+
+        if belief is None:
+            belief = truth._replace(data=jnp.full_like(truth.data, -1.0))
+        reveal_b = jax.jit(jax.vmap(sensor.reveal, in_axes=(0, 0, 0, None)),
+                           static_argnums=())
+        coverage = []
+        out = None
+        for _ in range(max(1, n_ticks // refresh_every)):
+            belief = reveal_b(belief, truth, sc.x, sensor_range)
+            phik = self.phik_from_grid(belief)
+            world = self.prepare_world(belief)
+            out = self.explore(sc, phik, world, refresh_every)
+            sc = out.scenarios
+            coverage.append(sensor.fraction_known(belief))
+        return out, belief, jnp.stack(coverage)
 
 
 def make_scenario_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:

@@ -176,3 +176,30 @@ def test_sample_axis_sharded_phik_matches():
     x0 = np.concatenate([rng.uniform(0.3, 1.7, (S, 2)), rng.uniform(-3, 3, (S, 1))], axis=1)
     out = eng_m.explore(eng_m.init_scenarios(x0), p_m, eng_m.empty_world(DOM, S), 5)
     assert bool(jnp.all(jnp.isfinite(out.trajectory)))
+
+
+def test_explore_mapping_reveals_and_covers():
+    """Config 4 end-to-end: unknown world + disc sensor -> MI target drives
+    coverage up as beliefs evolve."""
+    cfg = _cfg()
+    engine = Engine(cfg)
+    S = 2
+    truth_data = np.zeros((S, 40, 40), dtype=np.float32)
+    truth_data[:, 18:22, 25:35] = 1.0  # a wall to discover
+    truth = GridMap(
+        data=jnp.asarray(truth_data),
+        origin=jnp.zeros((S, 2), jnp.float32),
+        resolution=jnp.full((S,), 0.05, jnp.float32),
+    )
+    x0 = np.array([[0.4, 0.4, 0.5], [1.6, 1.6, -2.0]])
+    sc = engine.init_scenarios(x0)
+    out, belief, coverage = engine.explore_mapping(
+        sc, truth, n_ticks=30, sensor_range=0.6, refresh_every=10
+    )
+    cov = np.asarray(coverage)
+    assert cov[-1] > cov[0] > 0.0  # robots reveal more of the map over time
+    assert bool(jnp.all(jnp.isfinite(out.trajectory)))
+    # belief matches truth wherever known
+    b = np.asarray(belief.data)
+    known = b >= 0
+    np.testing.assert_array_equal(b[known], truth_data[known])
