@@ -196,6 +196,14 @@ class Engine:
             tbl = basis.tables(pts, K, domain)
             hk = basis.hk_norm(K, domain.lengths)
             D = basis.dense_table(tbl, hk)
+            S = gmm.means.shape[0]
+            if cfg.use_pallas and S % 8 == 0:
+                # fused Pallas kernel: GMM eval + normalize + contraction in
+                # one VMEM-resident pass (ops/pallas_kernels.py)
+                from ergodic_exploration_tpu.ops.pallas_kernels import phik_from_gmm_pallas
+
+                out = phik_from_gmm_pallas(gmm.means, gmm.covs, gmm.weights, pts, D)
+                return out.reshape(S, K, K)
             phi = jax.vmap(lambda g: target_ops.gmm_target_values(pts, g))(gmm)  # (S, N)
             return basis.coefficients_dense(phi, D, K)
 

@@ -203,3 +203,19 @@ def test_explore_mapping_reveals_and_covers():
     b = np.asarray(belief.data)
     known = b >= 0
     np.testing.assert_array_equal(b[known], truth_data[known])
+
+
+def test_pallas_phik_matches_xla_path():
+    """The fused Pallas target-refresh kernel == the XLA dense-table path
+    (interpret mode on CPU; compiled Mosaic on TPU)."""
+    cfg = _cfg(use_pallas=True)
+    S = 16
+    rng = np.random.default_rng(5)
+    gmm = target.GaussianMixture.create(
+        means=rng.uniform(0.3, 1.7, (S, 3, 2)).astype(np.float32),
+        covs=np.tile((0.1 * np.eye(2, dtype=np.float32))[None, None], (S, 3, 1, 1)),
+        weights=np.asarray(rng.uniform(0.5, 2.0, (S, 3)), np.float32),
+    )
+    p_pallas = Engine(cfg).phik_from_gmm(gmm, DOM)
+    p_xla = Engine(cfg.replace(use_pallas=False)).phik_from_gmm(gmm, DOM)
+    np.testing.assert_allclose(np.asarray(p_pallas), np.asarray(p_xla), atol=2e-5)
