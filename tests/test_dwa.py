@@ -90,3 +90,29 @@ def test_dwa_infeasible_stops():
     u, feasible = dwa_control(model, x, vb, model.from_twist(vb), g.domain(), f, cfg)
     assert not bool(feasible)
     np.testing.assert_allclose(np.asarray(u), 0.0)
+
+
+def test_omni_dwa_uses_lateral_candidates():
+    """Omni window samples vy too; boxed ahead, free to the side -> the
+    fallback picks a twist with lateral motion rather than stopping."""
+    import dataclasses
+
+    raw = np.zeros((40, 40), dtype=np.int8)
+    raw[:, 20:24] = 100  # wall ahead (x ~ 2.0..2.4)
+    g = GridMap.from_ros(raw, 0.0, 0.0, 0.1)
+    cfg = default_config("omni").replace(boundary_radius=0.15)
+    cfg = cfg.replace(dwa=dataclasses.replace(cfg.dwa, samples=(5, 5, 5), acc_lim=(3.0, 3.0, 5.0)))
+    model = make_model(cfg)
+    f = DistanceField.from_grid(g)
+    x = jnp.array([1.85, 2.0, 0.0])
+    vb = jnp.array([0.3, 0.0, 0.0])  # heading straight at the wall
+    u_ref = model.from_twist(vb)
+    assert int(validate_control(model, x, u_ref, g.domain(), f, cfg)) == CRASH
+    u, feasible = dwa_control(model, x, vb, u_ref, g.domain(), f, cfg)
+    assert bool(feasible)
+    tw = np.asarray(model.twist(u))
+    # the chosen twist must not still crash
+    U = jnp.tile(u[None, :], (cfg.dwa.horizon, 1))
+    X = rollout(model, x, U, cfg.dwa.dt)
+    d, _ = f.query(X[1:, :2])
+    assert float(jnp.min(d)) > cfg.boundary_radius
