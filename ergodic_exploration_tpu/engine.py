@@ -24,7 +24,6 @@ replay buffers never round-trip through HBM copies.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

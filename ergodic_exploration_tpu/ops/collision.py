@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ergodic_exploration_tpu.ops.integrator import rollout
 
 # collision codes (reference enum parity)
 NONE = 0

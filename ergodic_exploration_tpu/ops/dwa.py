@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from ergodic_exploration_tpu.ops.collision import CRASH, check_trajectory
-from ergodic_exploration_tpu.ops.integrator import rollout
 
 INFEASIBLE_COST = 1.0e9
 

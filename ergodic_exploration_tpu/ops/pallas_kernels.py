@@ -15,8 +15,6 @@ replicated into VMEM (4 MB at N=10k, K=10 — fits comfortably).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
