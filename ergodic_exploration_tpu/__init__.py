@@ -20,7 +20,7 @@ Layer map (mirrors SURVEY.md section 2's L0-L5, redesigned TPU-first):
                   :mod:`ergodic_exploration_tpu.controller`
 - L4 safety    -> :mod:`ergodic_exploration_tpu.ops.dwa`
 - L5 app       -> :mod:`ergodic_exploration_tpu.engine` (batched array API
-                  replacing the ROS node), :mod:`ergodic_exploration_tpu.sim`
+                  replacing the ROS node), :mod:`ergodic_exploration_tpu.node`
 """
 
 from ergodic_exploration_tpu.config import (
@@ -47,6 +47,22 @@ def __getattr__(name):
         from ergodic_exploration_tpu.engine import Engine
 
         return Engine
+    if name == "ExplorationNode":
+        from ergodic_exploration_tpu.node import ExplorationNode
+
+        return ExplorationNode
+    if name == "GaussianMixture":
+        from ergodic_exploration_tpu.ops.target import GaussianMixture
+
+        return GaussianMixture
+    if name == "make_scenario_mesh":
+        from ergodic_exploration_tpu.engine import make_scenario_mesh
+
+        return make_scenario_mesh
+    if name == "make_mesh":
+        from ergodic_exploration_tpu.engine import make_mesh
+
+        return make_mesh
     raise AttributeError(name)
 
 __all__ = [
@@ -60,4 +76,8 @@ __all__ = [
     "GridMap",
     "ErgodicController",
     "Engine",
+    "ExplorationNode",
+    "GaussianMixture",
+    "make_scenario_mesh",
+    "make_mesh",
 ]

@@ -219,3 +219,19 @@ def test_pallas_phik_matches_xla_path():
     p_pallas = Engine(cfg).phik_from_gmm(gmm, DOM)
     p_xla = Engine(cfg.replace(use_pallas=False)).phik_from_gmm(gmm, DOM)
     np.testing.assert_allclose(np.asarray(p_pallas), np.asarray(p_xla), atol=2e-5)
+
+
+def test_long_horizon_stability():
+    """300 on-device closed-loop ticks: finite everywhere, no divergence
+    resets, warm starts keep the metric descending overall."""
+    cfg = _cfg(enable_safety=False, history="accumulate")
+    engine = Engine(cfg)
+    S = 2
+    x0 = np.array([[0.4, 0.4, 0.0], [1.5, 1.2, 2.0]])
+    out = engine.explore(
+        engine.init_scenarios(x0), _phik(engine, S), engine.empty_world(DOM, S), 300
+    )
+    assert bool(jnp.all(jnp.isfinite(out.trajectory)))
+    assert not bool(jnp.any(out.diag.diverged))
+    e = np.asarray(out.diag.ergodic_metric)
+    assert np.all(e[-1] < e[0] * 0.8)
