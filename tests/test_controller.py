@@ -203,3 +203,36 @@ def test_safety_path_engages_near_wall():
     metrics, xs = _closed_loop(ctrl, phik, world, jnp.array([1.2, 2.0, 0.0]), 40)
     d, _ = world.dist.query(jnp.asarray(xs[:, :2], jnp.float32))
     assert float(jnp.min(d)) > 0.0  # never entered a wall cell
+
+
+def test_step_differentiable_wrt_target():
+    """The whole jitted solve differentiates end-to-end (enables gradient-
+    based target/gain tuning — a capability the C++ reference cannot offer).
+    d(metric)/d(phik) must match the analytic -2 Lambda (c_k - phi_k)."""
+    import jax
+
+    from ergodic_exploration_tpu.ops import basis
+
+    cfg = _cart_cfg(history="accumulate")
+    ctrl = ErgodicController(cfg)
+    world = World.empty(DOM)
+    K = cfg.num_basis
+    state = ctrl.init_state()
+    x0 = jnp.array([0.5, 0.6, 0.4])
+    rng = np.random.default_rng(0)
+    phik = jnp.asarray(rng.uniform(-0.05, 0.05, (K, K)).astype(np.float32))
+
+    def metric_of(phik):
+        _, _, diag = ctrl.step(state, x0, jnp.zeros(3), phik, world)
+        return diag.ergodic_metric
+
+    g = jax.jit(jax.grad(metric_of))(phik)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # analytic check: E = sum lam (ck - phik)^2 with ck independent of phik
+    X = ctrl.predicted_path(state, x0)
+    tbl = basis.tables(X[:-1, :2], K, DOM)
+    hk = basis.hk_norm(K, DOM.lengths)
+    ck = basis.coefficients(tbl, jnp.ones(cfg.horizon), hk) / cfg.horizon
+    lam = basis.lambda_weights(K)
+    want = -2.0 * lam * (ck - phik)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want), atol=1e-5)
