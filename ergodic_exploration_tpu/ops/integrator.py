@@ -37,7 +37,7 @@ def rk4_step(f, x, u, dt):
     return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
 
 
-def rollout(model, x0, U, dt):
+def rollout(model, x0, U, dt, unroll: int = 4):
     """Forward-simulate a control sequence.
 
     Args:
@@ -45,6 +45,9 @@ def rollout(model, x0, U, dt):
         x0: (3,) initial state.
         U: (H, nu) control sequence.
         dt: step size.
+        unroll: scan unroll factor — the per-step bodies are a handful of
+            tiny (batch, 3) ops, so some unrolling lets XLA fuse across
+            steps instead of paying per-iteration dispatch (H is short).
 
     Returns:
         X: (H+1, 3) states [x_0 .. x_H] with wrapped headings.
@@ -54,7 +57,7 @@ def rollout(model, x0, U, dt):
         x_next = wrap_state_angle(rk4_step(model.f, x, u, dt))
         return x_next, x_next
 
-    _, xs = jax.lax.scan(body, x0, U)
+    _, xs = jax.lax.scan(body, x0, U, unroll=unroll)
     return jnp.concatenate([x0[None, :], xs], axis=0)
 
 
@@ -95,7 +98,7 @@ def costate_solve(As, gs, dt):
     rho_T = jnp.zeros(As.shape[-1], dtype=As.dtype)
     # reverse=True consumes t = H-1 .. 0 but stacks outputs at their input
     # positions, so `rhos` is already [rho_0 .. rho_{H-1}].
-    _, rhos = jax.lax.scan(body, rho_T, (As, gs), reverse=True)
+    _, rhos = jax.lax.scan(body, rho_T, (As, gs), reverse=True, unroll=4)
     return rhos
 
 
