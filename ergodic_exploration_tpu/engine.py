@@ -332,6 +332,14 @@ class Engine:
         phik = self._phik_from_gmm_fn(gmm, domain)
         return self._replan_fn(sc, phik, world)
 
+    def replan_refresh(self, sc: Scenarios, gmm, domain: Domain, world: World):
+        """One batched tick including the per-tick GMM target refresh, fused
+        in a single jitted program (the full reference tick; what bench.py
+        measures). Use :meth:`replan` when phi_k is precomputed/static."""
+        if not hasattr(self, "_replan_refresh_jit"):
+            self._replan_refresh_jit = self._shard_jit(self._refresh_and_replan_fn, donate=(0,))
+        return self._replan_refresh_jit(sc, gmm, domain, world)
+
     def _explore_fn(self, sc: Scenarios, phik, world: World, n_ticks: int):
         def body(carry, _):
             state, x, vb = carry
