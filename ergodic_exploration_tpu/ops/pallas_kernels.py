@@ -4,13 +4,16 @@ Target refresh (the per-tick "10k grid samples" stage, SURVEY.md section
 4.2 step 1): the XLA path materializes the (S, N) phi values in HBM between
 the GMM evaluation, the normalizer reduction, and the (S, N) @ (N, K^2)
 contraction. This kernel keeps everything VMEM-resident per scenario tile:
-phi is evaluated on the VPU, the normalizer and the coefficient contraction
-(MXU) accumulate in-register, and only the (S, K^2) result is written back
-— one HBM pass over the inputs instead of three over (S, N).
+phi is evaluated on the VPU chunk by chunk, the normalizer and the
+coefficient contraction (MXU) accumulate across chunks, and only the
+(S, K^2) result is written back — one HBM pass over the inputs instead of
+three over (S, N).
 
 Layout (per pallas guide): grid over scenario tiles of TS rows; the shared
-sample lattice ``pts`` (N, 2) and dense basis table ``D`` (N, K^2) are
-replicated into VMEM (4 MB at N=10k, K=10 — fits comfortably).
+sample lattice ``pts`` (N, 2) and dense basis table ``D`` (N, K^2) sit in
+VMEM (4 MB at N=10k, K=10); the sample axis is walked in NC-point chunks
+inside a fori_loop so the (TS, N) intermediates never exist (a whole-N
+version ran the Mosaic scoped-vmem stack past its 16 MB limit).
 """
 
 from __future__ import annotations
@@ -20,32 +23,44 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_CHUNK = 1024  # sample points per inner step; (TS, _CHUNK) temps ~32 KB
+
 
 def _phik_gmm_kernel(means_ref, icov_ref, nrm_ref, pts_ref, d_ref, out_ref):
-    """One scenario tile: evaluate phi over all N points, contract with D.
+    """One scenario tile: accumulate phi @ D and sum(phi) over N chunks.
 
     means: (TS, J, 2), icov: (TS, J, 3) [Sinv_xx, Sinv_xy, Sinv_yy],
     nrm: (TS, J) w_j / (2 pi sqrt(det)), pts: (N, 2), d: (N, K2),
-    out: (TS, K2).
+    out: (TS, K2). N is padded to a _CHUNK multiple (pad points are placed
+    far outside the domain so their density underflows to zero).
     """
     TS, J, _ = means_ref.shape
-    px = pts_ref[:, 0]  # (N,)
-    py = pts_ref[:, 1]
+    N, K2 = d_ref.shape
+    n_chunks = N // _CHUNK
 
-    phi = jnp.zeros((TS, px.shape[0]), dtype=jnp.float32)
-    for j in range(J):  # J is tiny (number of mixture components)
-        dx = px[None, :] - means_ref[:, j, 0:1]  # (TS, N)
-        dy = py[None, :] - means_ref[:, j, 1:2]
-        q = (
-            icov_ref[:, j, 0:1] * dx * dx
-            + 2.0 * icov_ref[:, j, 1:2] * dx * dy
-            + icov_ref[:, j, 2:3] * dy * dy
-        )
-        phi = phi + nrm_ref[:, j:j + 1] * jnp.exp(-0.5 * q)
+    def body(i, carry):
+        ck, tot = carry
+        sl = pl.ds(i * _CHUNK, _CHUNK)
+        px = pts_ref[sl, 0]  # (NC,)
+        py = pts_ref[sl, 1]
+        phi = jnp.zeros((TS, _CHUNK), dtype=jnp.float32)
+        for j in range(J):  # J is tiny (mixture components)
+            dx = px[None, :] - means_ref[:, j, 0:1]  # (TS, NC)
+            dy = py[None, :] - means_ref[:, j, 1:2]
+            q = (
+                icov_ref[:, j, 0:1] * dx * dx
+                + 2.0 * icov_ref[:, j, 1:2] * dx * dy
+                + icov_ref[:, j, 2:3] * dy * dy
+            )
+            phi = phi + nrm_ref[:, j:j + 1] * jnp.exp(-0.5 * q)
+        tot = tot + jnp.sum(phi, axis=1, keepdims=True)
+        ck = ck + jnp.dot(phi, d_ref[sl, :], preferred_element_type=jnp.float32)
+        return ck, tot
 
-    total = jnp.sum(phi, axis=1, keepdims=True)  # (TS, 1)
-    ck = jnp.dot(phi, d_ref[:, :], preferred_element_type=jnp.float32)  # (TS, K2)
-    out_ref[:, :] = ck / jnp.maximum(total, 1e-12)
+    ck0 = jnp.zeros((TS, K2), dtype=jnp.float32)
+    tot0 = jnp.zeros((TS, 1), dtype=jnp.float32)
+    ck, tot = jax.lax.fori_loop(0, n_chunks, body, (ck0, tot0))
+    out_ref[:, :] = ck / jnp.maximum(tot, 1e-12)
 
 
 def phik_from_gmm_pallas(means, covs, weights, pts, D, tile: int = 8,
@@ -61,6 +76,14 @@ def phik_from_gmm_pallas(means, covs, weights, pts, D, tile: int = 8,
     N, K2 = D.shape
     if S % tile != 0:
         raise ValueError(f"S={S} not divisible by tile={tile}")
+
+    # pad the sample axis to a chunk multiple; pad points sit ~1e6 m away so
+    # every mixture's density underflows to exactly 0 there
+    pad = (-N) % _CHUNK
+    if pad:
+        pts = jnp.concatenate([pts, jnp.full((pad, 2), 1.0e6, pts.dtype)])
+        D = jnp.concatenate([D, jnp.zeros((pad, K2), D.dtype)])
+        N += pad
 
     a = covs[..., 0, 0]
     b = covs[..., 0, 1]
