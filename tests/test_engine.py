@@ -235,3 +235,42 @@ def test_long_horizon_stability():
     assert not bool(jnp.any(out.diag.diverged))
     e = np.asarray(out.diag.ergodic_metric)
     assert np.all(e[-1] < e[0] * 0.8)
+
+
+def test_ergodicity_visit_statistics_match_target():
+    """THE defining property: long-run time-averaged visit statistics
+    approach the target spatial distribution (prototype run measured 0.85
+    correlation at 1200 ticks; threshold leaves margin)."""
+    cfg = default_config("cart").replace(
+        num_basis=8, horizon=10, enable_safety=False, grid_samples=(30, 30),
+        ergodic_weight=50.0, buffer_batch=100,
+    )
+    engine = Engine(cfg)
+    S = 3
+    rng = np.random.default_rng(0)
+    x0 = np.concatenate([rng.uniform(0.3, 1.7, (S, 2)), rng.uniform(-3, 3, (S, 1))], axis=1)
+    gmm_b = target.GaussianMixture.create(
+        means=np.tile(np.array([[0.6, 0.6], [1.4, 1.4]], np.float32)[None], (S, 1, 1)),
+        covs=np.tile((0.08 * np.eye(2, dtype=np.float32))[None, None], (S, 2, 1, 1)),
+        weights=np.ones((S, 2), np.float32),
+    )
+    out = engine.explore(
+        engine.init_scenarios(x0), engine.phik_from_gmm(gmm_b, DOM),
+        engine.empty_world(DOM, S), 1000,
+    )
+    P = np.asarray(out.trajectory[..., :2]).reshape(-1, 2)
+    B = 8
+    hist, xe, ye = np.histogram2d(P[:, 0], P[:, 1], bins=B, range=[[0, 2], [0, 2]])
+    emp = (hist / hist.sum()).ravel()
+    cx, cy = (xe[:-1] + xe[1:]) / 2, (ye[:-1] + ye[1:]) / 2
+    pts = np.stack(np.meshgrid(cx, cy, indexing="ij"), -1).reshape(-1, 2)
+    g1 = target.GaussianMixture.create(
+        means=[[0.6, 0.6], [1.4, 1.4]],
+        covs=np.tile((0.08 * np.eye(2, dtype=np.float32))[None], (2, 1, 1)),
+    )
+    phi = np.asarray(target.gmm_target_values(jnp.asarray(pts, jnp.float32), g1))
+    corr = np.corrcoef(emp, phi / phi.sum())[0, 1]
+    assert corr > 0.6, f"visit/target correlation {corr:.3f}"
+    # and the ergodic metric collapsed
+    e = np.asarray(out.diag.ergodic_metric)
+    assert e[-1].mean() < 0.25 * e[0].mean()
