@@ -120,6 +120,12 @@ class EngineConfig:
     # --- numerics / scale-out ---
     precision: str = "fp32"  # "fp32" | "bf16" (bf16 basis matmul inputs, fp32 accum)
     use_pallas: bool = True  # fused ergodic-reduction kernel where profitable
+    # Unroll factor for the short sequential RK4 scans (rollout + co-state).
+    # Per-step bodies are tiny (batch, 3) ops, so unrolling lets XLA fuse
+    # across steps; sweepable on hardware (static -> recompiles on change).
+    # Measured on v5e at S=4096 (tools/tpu_tune.py): 1 -> 15.6 ms/step,
+    # 4 -> 16.1, 8 -> 15.1, 20 (full horizon) -> 14.9. Full unroll wins.
+    scan_unroll: int = 20
 
     @property
     def nx(self) -> int:

@@ -147,7 +147,7 @@ class ErgodicController:
         patch = extract_patch(world.dist, x[:2], cfg.patch_cells)
 
         # 1. forward rollout of the warm-started sequence
-        X = rollout(model, x, state.U, cfg.dt)  # (H+1, 3)
+        X = rollout(model, x, state.U, cfg.dt, unroll=cfg.scan_unroll)  # (H+1, 3)
         knots = X[:-1]  # states x_0..x_{H-1}, aligned with u_0..u_{H-1}
         P = knots[:, :2]
         tbl_roll = basis.tables(P, K, domain)
@@ -183,7 +183,7 @@ class ErgodicController:
         g_xy = cfg.ergodic_weight * e + cfg.barrier_weight * bgrad
         gs = jnp.concatenate([g_xy, jnp.zeros((H, 1), dtype=g_xy.dtype)], axis=-1)
         As = model.A(knots, state.U)  # (H, 3, 3)
-        rho = costate_solve(As, gs, cfg.dt)  # (H, 3)
+        rho = costate_solve(As, gs, cfg.dt, unroll=cfg.scan_unroll)  # (H, 3)
 
         # 6. control update u = sat(-R^-1 B^T rho)
         Bs = model.B(knots, state.U)  # (H, 3, nu)

@@ -78,13 +78,14 @@ def costate_rk4_step(rho, A, g, dt):
     return rho + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
 
 
-def costate_solve(As, gs, dt):
+def costate_solve(As, gs, dt, unroll: int = 4):
     """Backward co-state sweep over a horizon.
 
     Args:
         As: (H, 3, 3) state Jacobians at the trajectory knots.
         gs: (H, 3) running-cost gradients (gamma * ergodic + barrier) at knots.
         dt: step size.
+        unroll: scan unroll factor (see :func:`rollout`).
 
     Returns:
         rhos: (H, 3) co-states [rho_0 .. rho_{H-1}] with rho_H = 0 implicit.
@@ -98,7 +99,7 @@ def costate_solve(As, gs, dt):
     rho_T = jnp.zeros(As.shape[-1], dtype=As.dtype)
     # reverse=True consumes t = H-1 .. 0 but stacks outputs at their input
     # positions, so `rhos` is already [rho_0 .. rho_{H-1}].
-    _, rhos = jax.lax.scan(body, rho_T, (As, gs), reverse=True, unroll=4)
+    _, rhos = jax.lax.scan(body, rho_T, (As, gs), reverse=True, unroll=unroll)
     return rhos
 
 

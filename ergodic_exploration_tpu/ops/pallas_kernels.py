@@ -54,7 +54,16 @@ def _phik_gmm_kernel(means_ref, icov_ref, nrm_ref, pts_ref, d_ref, out_ref):
             )
             phi = phi + nrm_ref[:, j:j + 1] * jnp.exp(-0.5 * q)
         tot = tot + jnp.sum(phi, axis=1, keepdims=True)
-        ck = ck + jnp.dot(phi, d_ref[sl, :], preferred_element_type=jnp.float32)
+        # HIGHEST precision: the MXU rounds matmul inputs to bf16 by default,
+        # which measured ~9e-4 relative error on real hardware — most of the
+        # 1e-3 parity budget. Mosaic implements only DEFAULT and HIGHEST
+        # (HIGH raises NotImplementedError), so take the 6-pass variant; the
+        # contraction is a small (TS, chunk)@(chunk, K^2) next to the VPU exp.
+        ck = ck + jnp.dot(
+            phi, d_ref[sl, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return ck, tot
 
     ck0 = jnp.zeros((TS, K2), dtype=jnp.float32)
