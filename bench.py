@@ -28,11 +28,10 @@ def build_case(S: int, seed: int = 0):
     from ergodic_exploration_tpu.grid import Domain, GridMap
     from ergodic_exploration_tpu.ops import target as target_ops
 
-    # K=10, H=20, dt=0.1, grid_samples 100x100. use_pallas=False: the fused
-    # target-refresh kernel is numerically validated but its Mosaic compile
-    # has not yet been timed on this attachment; the XLA path's numbers are
-    # the measured ones (docs/PERFORMANCE.md). Flip after TPU validation.
-    cfg = default_config("cart").replace(use_pallas=False)
+    # K=10, H=20, dt=0.1, grid_samples 100x100. use_pallas=True: the fused
+    # target-refresh kernel is Mosaic-validated on v5e (matches the XLA path
+    # to 2.2e-6; 2.0 ms vs 3.7 ms for the refresh stage — tools/tpu_probe.py).
+    cfg = default_config("cart")
     assert cfg.horizon == 20 and cfg.grid_samples == (100, 100)
     engine = Engine(cfg)
     domain = Domain.create(0.0, 0.0, 5.0, 5.0)

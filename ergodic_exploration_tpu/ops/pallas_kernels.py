@@ -1,19 +1,28 @@
 """Pallas TPU kernels for the hot ops XLA can't fully fuse.
 
 Target refresh (the per-tick "10k grid samples" stage, SURVEY.md section
-4.2 step 1): the XLA path materializes the (S, N) phi values in HBM between
-the GMM evaluation, the normalizer reduction, and the (S, N) @ (N, K^2)
-contraction. This kernel keeps everything VMEM-resident per scenario tile:
-phi is evaluated on the VPU chunk by chunk, the normalizer and the
-coefficient contraction (MXU) accumulate across chunks, and only the
-(S, K^2) result is written back — one HBM pass over the inputs instead of
-three over (S, N).
+4.2 step 1): the XLA path materializes (S, N)-sized phi intermediates in HBM
+between the GMM evaluation, the normalizer reduction, and the
+(S, N) @ (N, K^2) contraction. This kernel keeps everything VMEM-resident
+per (scenario-tile, sample-chunk) block: phi is evaluated on the VPU, the
+normalizer and the coefficient contraction (MXU) accumulate in scratch
+across chunks, and only the (S, K^2) result is written back — one HBM pass
+over the inputs instead of several over (S, N).
+Measured on v5e at S=4096, N=10k, K^2=100: 2.0 ms vs 3.7 ms for the XLA
+path, identical results to 2.2e-6 (tools/tpu_probe.py).
 
-Layout (per pallas guide): grid over scenario tiles of TS rows; the shared
-sample lattice ``pts`` (N, 2) and dense basis table ``D`` (N, K^2) sit in
-VMEM (4 MB at N=10k, K=10); the sample axis is walked in NC-point chunks
-inside a fori_loop so the (TS, N) intermediates never exist (a whole-N
-version ran the Mosaic scoped-vmem stack past its 16 MB limit).
+Layout rules this kernel learned the hard way (probe history):
+- 2-D grid (scenario tiles x sample chunks), sample chunks innermost and
+  marked "arbitrary" (sequential reduction); blocks of ``pts``/``D`` stream
+  through VMEM double-buffered. A whole-N-resident version exceeded the
+  16 MB scoped-VMEM limit at S = 4096.
+- Per-scenario GMM parameters are passed TRANSPOSED, (J, S), so the batch
+  axis lands on TPU lanes. 3-D blocks shaped (tile, J, 2/3) made Mosaic
+  blow scoped VMEM ~linearly in tile (102 MB at tile=64) and compile for
+  minutes; the (J, S) layout compiles in ~1 s at any tile.
+- The in-kernel dot runs HIGHEST precision: the MXU's default bf16 input
+  rounding measured ~9e-4 relative error — most of the 1e-3 parity budget.
+  Mosaic implements only DEFAULT/HIGHEST (HIGH raises NotImplementedError).
 """
 
 from __future__ import annotations
@@ -23,104 +32,114 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_CHUNK = 1024  # sample points per inner step; (TS, _CHUNK) temps ~32 KB
+_CHUNK = 1024  # sample points per grid step
 
 
-def _phik_gmm_kernel(means_ref, icov_ref, nrm_ref, pts_ref, d_ref, out_ref):
-    """One scenario tile: accumulate phi @ D and sum(phi) over N chunks.
+def _phik_gmm_kernel(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
+                     out_r, acc_r, tot_r):
+    """One (scenario-tile, sample-chunk) block.
 
-    means: (TS, J, 2), icov: (TS, J, 3) [Sinv_xx, Sinv_xy, Sinv_yy],
-    nrm: (TS, J) w_j / (2 pi sqrt(det)), pts: (N, 2), d: (N, K2),
-    out: (TS, K2). N is padded to a _CHUNK multiple (pad points are placed
-    far outside the domain so their density underflows to zero).
+    mx/my: (J, TS) component means; ia/ib/ic: (J, TS) inverse-covariance
+    entries [Sinv_xx, Sinv_xy, Sinv_yy]; nr: (J, TS) w_j / (2 pi sqrt(det));
+    pts: (2, CHUNK); d: (CHUNK, K2); out: (TS, K2); acc/tot are VMEM scratch
+    persisting across the (innermost) chunk axis. The sample axis is padded
+    to a _CHUNK multiple with far-away points whose density underflows to 0.
     """
-    TS, J, _ = means_ref.shape
-    N, K2 = d_ref.shape
-    n_chunks = N // _CHUNK
+    J, TS = mx_r.shape
+    j = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
 
-    def body(i, carry):
-        ck, tot = carry
-        sl = pl.ds(i * _CHUNK, _CHUNK)
-        px = pts_ref[sl, 0]  # (NC,)
-        py = pts_ref[sl, 1]
-        phi = jnp.zeros((TS, _CHUNK), dtype=jnp.float32)
-        for j in range(J):  # J is tiny (mixture components)
-            dx = px[None, :] - means_ref[:, j, 0:1]  # (TS, NC)
-            dy = py[None, :] - means_ref[:, j, 1:2]
-            q = (
-                icov_ref[:, j, 0:1] * dx * dx
-                + 2.0 * icov_ref[:, j, 1:2] * dx * dy
-                + icov_ref[:, j, 2:3] * dy * dy
-            )
-            phi = phi + nrm_ref[:, j:j + 1] * jnp.exp(-0.5 * q)
-        tot = tot + jnp.sum(phi, axis=1, keepdims=True)
-        # HIGHEST precision: the MXU rounds matmul inputs to bf16 by default,
-        # which measured ~9e-4 relative error on real hardware — most of the
-        # 1e-3 parity budget. Mosaic implements only DEFAULT and HIGHEST
-        # (HIGH raises NotImplementedError), so take the 6-pass variant; the
-        # contraction is a small (TS, chunk)@(chunk, K^2) next to the VPU exp.
-        ck = ck + jnp.dot(
-            phi, d_ref[sl, :],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return ck, tot
+    @pl.when(j == 0)
+    def _():
+        acc_r[:, :] = jnp.zeros_like(acc_r)
+        tot_r[:, :] = jnp.zeros_like(tot_r)
 
-    ck0 = jnp.zeros((TS, K2), dtype=jnp.float32)
-    tot0 = jnp.zeros((TS, 1), dtype=jnp.float32)
-    ck, tot = jax.lax.fori_loop(0, n_chunks, body, (ck0, tot0))
-    out_ref[:, :] = ck / jnp.maximum(tot, 1e-12)
+    px = pts_r[0, :]  # (CHUNK,)
+    py = pts_r[1, :]
+    phi = jnp.zeros((TS, px.shape[0]), jnp.float32)
+    for c in range(J):  # J is tiny (mixture components)
+        dx = px[None, :] - mx_r[c, :][:, None]  # (TS, CHUNK)
+        dy = py[None, :] - my_r[c, :][:, None]
+        q = (ia_r[c, :][:, None] * dx * dx
+             + 2.0 * ib_r[c, :][:, None] * dx * dy
+             + ic_r[c, :][:, None] * dy * dy)
+        phi = phi + nr_r[c, :][:, None] * jnp.exp(-0.5 * q)
+    tot_r[:, :] += jnp.sum(phi, axis=1, keepdims=True)
+    acc_r[:, :] += jnp.dot(
+        phi, d_r[:, :],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        out_r[:, :] = acc_r[:, :] / jnp.maximum(tot_r[:, :], 1e-12)
 
 
-def phik_from_gmm_pallas(means, covs, weights, pts, D, tile: int = 8,
+def phik_from_gmm_pallas(means, covs, weights, pts, D, tile: int | None = None,
                          interpret=None):
     """Fused batched GMM target coefficients: (S, K^2), normalized.
 
     Args:
         means: (S, J, 2); covs: (S, J, 2, 2); weights: (S, J).
         pts: (N, 2) shared sample lattice; D: (N, K^2) dense basis table.
-        tile: scenarios per program (S must be divisible by it).
+        tile: scenarios per program (must divide S; default: largest of
+            128/64/32/16/8 that divides S — measured flat 2.0-2.2 ms across
+            128..512 at S=4096, and small tiles only hurt).
     """
     S, J, _ = means.shape
     N, K2 = D.shape
+    if tile is None:
+        tile = next((t for t in (128, 64, 32, 16, 8) if S % t == 0), None)
+        if tile is None:
+            raise ValueError(f"S={S} not divisible by any supported tile")
     if S % tile != 0:
         raise ValueError(f"S={S} not divisible by tile={tile}")
 
-    # pad the sample axis to a chunk multiple; pad points sit ~1e6 m away so
-    # every mixture's density underflows to exactly 0 there
     pad = (-N) % _CHUNK
     if pad:
         pts = jnp.concatenate([pts, jnp.full((pad, 2), 1.0e6, pts.dtype)])
         D = jnp.concatenate([D, jnp.zeros((pad, K2), D.dtype)])
         N += pad
+    n_chunks = N // _CHUNK
 
     a = covs[..., 0, 0]
     b = covs[..., 0, 1]
     c = covs[..., 1, 1]
     det = a * c - b * b
-    inv_det = 1.0 / det
-    icov = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)  # (S, J, 3)
-    nrm = weights / (2.0 * jnp.pi * jnp.sqrt(det))  # (S, J)
+    # transposed (J, S) parameter layout: batch axis on lanes (see module doc)
+    mx = means[..., 0].T
+    my = means[..., 1].T
+    ia = (c / det).T
+    ib = (-b / det).T
+    ic = (a / det).T
+    nr = (weights / (2.0 * jnp.pi * jnp.sqrt(det))).T
+    ptsT = pts.T  # (2, N)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    grid = (S // tile,)
+    grid = (S // tile, n_chunks)
+    param_spec = pl.BlockSpec((J, tile), lambda i, j: (0, i), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _phik_gmm_kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile, J, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, J, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, J), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, K2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        in_specs=[param_spec] * 6 + [
+            pl.BlockSpec((2, _CHUNK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, K2), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, K2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, K2), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, K2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile, K2), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * S * N * (K2 + 8 * J),
-            bytes_accessed=N * (K2 + 2) * 4 + S * K2 * 4,
+            bytes_accessed=(S // tile) * N * (K2 + 2) * 4 + S * K2 * 4,
             transcendentals=S * N * J,
         ),
         interpret=interpret,
-    )(means, icov, nrm, pts, D)
+    )(mx, my, ia, ib, ic, nr, ptsT, D)
