@@ -104,6 +104,12 @@ class EngineConfig:
     # robot's one-tick reachable set plus d_safe (~1.2 m at 5 cm cells).
     # Map access outside the patch clamps to its edge. See ops/patch.py.
     patch_cells: int = 48
+    # Central sub-window of the patch used for the safety stage's queries
+    # (validation + DWA). Must cover the vel-limited reachable set of one
+    # validation/DWA rollout (~vel_lim * horizon * dt + a cell of rounding;
+    # ~0.3 m ~ 6 cells at defaults). Queries clamp to the window edge, so an
+    # undersized window degrades silently — keep a 2x margin.
+    safety_patch_cells: int = 16
     boundary_radius: float = 0.2  # robot footprint radius [m]
     occupied_threshold: float = 0.65  # occupancy prob above which a cell is an obstacle
     barrier_eps: float = 0.05  # boundary-barrier activation margin [m]

@@ -194,10 +194,14 @@ class ErgodicController:
         U_new = jnp.clip(u_star, u_min[None, :], u_max[None, :])
         u0 = U_new[0]
 
-        # 7. safety: validate u0; DWA fallback on predicted collision (A.7)
+        # 7. safety: validate u0; DWA fallback on predicted collision (A.7).
+        # Safety queries reach <= vel_lim * horizon * dt from the pose, so
+        # they run against a central crop of the patch (exact; ~9x less
+        # contraction work than the barrier's full window).
         if cfg.enable_safety:
-            code = validate_control(model, x, u0, domain, patch, cfg)
-            u_dwa, feasible = dwa_control(model, x, vb, u0, domain, patch, cfg)
+            patch_s = patch.center_crop(cfg.safety_patch_cells)
+            code = validate_control(model, x, u0, domain, patch_s, cfg)
+            u_dwa, feasible = dwa_control(model, x, vb, u0, domain, patch_s, cfg)
             use_dwa = code >= CRASH
             u_cmd = jnp.where(use_dwa, u_dwa, u0)
         else:

@@ -79,6 +79,27 @@ class PatchField(NamedTuple):
         grad = jnp.sum(rows_g * wx[..., None], axis=-2)
         return dist, grad
 
+    def center_crop(self, size: int) -> "PatchField":
+        """Static central (size, size) sub-window — exact-identical queries
+        for points whose support lies inside it.
+
+        The safety stage's queries (validation path + DWA candidates) reach
+        at most vel_lim * dwa_horizon * dt from the pose (~0.3 m ~ 6 cells
+        at defaults), so they never touch the outer rings of the barrier's
+        big patch; contracting them against a cropped window cuts the
+        one-hot/hat matmul work ~(P/size)^2 with bit-identical results."""
+        P = self.size
+        if size >= P:
+            return self
+        o = (P - size) // 2
+        return PatchField(
+            dist=self.dist[o:o + size, o:o + size],
+            grad=self.grad[o:o + size, o:o + size],
+            start=self.start + o,
+            origin=self.origin,
+            resolution=self.resolution,
+        )
+
     def query_dist(self, p):
         """Nearest-cell clearance at world points (..., 2) — the PatchField
         counterpart of ``DistanceField.query_dist`` (one-hot contraction,

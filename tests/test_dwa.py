@@ -116,3 +116,65 @@ def test_omni_dwa_uses_lateral_candidates():
     X = rollout(model, x, U, cfg.dwa.dt)
     d, _ = f.query(X[1:, :2])
     assert float(jnp.min(d)) > cfg.boundary_radius
+
+
+def test_safety_subpatch_is_exact():
+    """The safety stage's central patch crop (cfg.safety_patch_cells) must be
+    invisible: full controller steps with the cropped vs full window produce
+    IDENTICAL controls and collision codes in a wall scene where DWA fires."""
+    import jax
+
+    from ergodic_exploration_tpu.controller import ErgodicController, World
+    from ergodic_exploration_tpu.ops import target
+    from ergodic_exploration_tpu.ops.patch import extract_patch
+
+    raw = np.zeros((40, 40), dtype=np.int8)
+    raw[:, 20] = 100
+    g = GridMap.from_ros(raw, 0.0, 0.0, 0.1)
+    dom = g.domain()
+    f = DistanceField.from_grid(g)
+
+    # ops-level: queries within the safety reach are bit-identical
+    patch = extract_patch(f, jnp.array([1.8, 2.0]), 48)
+    crop = patch.center_crop(16)
+    q = jnp.stack(
+        jnp.meshgrid(jnp.linspace(1.45, 2.15, 9), jnp.linspace(1.65, 2.35, 9)),
+        axis=-1,
+    ).reshape(-1, 2)  # +-0.35 m around the pose
+    np.testing.assert_array_equal(
+        np.asarray(patch.query_dist(q)), np.asarray(crop.query_dist(q))
+    )
+
+    # controller-level: cropped (default) vs full safety window
+    base = default_config("cart").replace(
+        num_basis=6, buffer_batch=None, ergodic_weight=400.0,
+        barrier_obstacle_weight=0.0,  # let the ergodic pull hit the wall
+    )
+    gmm = target.GaussianMixture.create(
+        [(3.5, 2.0)], np.array([[[0.08, 0.0], [0.0, 0.08]]])
+    )
+    world = World(domain=dom, dist=f)
+    outs = {}
+    for sp in (16, 48):
+        cfg = base.replace(safety_patch_cells=sp)
+        ctrl = ErgodicController(cfg)
+        pts = dom.sample_lattice(cfg.grid_samples)
+        phik = ctrl.target_coefficients(target.gmm_target_values(pts, gmm), pts, dom)
+        model = make_model(cfg)
+        state = ctrl.init_state()
+        x = jnp.array([1.6, 2.0, 0.0])  # facing the wall, target behind it
+        vb = jnp.zeros(3)
+        step = jax.jit(ctrl.step)
+        us, codes, dwas = [], [], []
+        for _ in range(40):  # closed loop: drive toward the wall
+            state, u, diag = step(state, x, vb, phik, world)
+            x = rollout(model, x, u[None, :], cfg.dt)[-1]
+            vb = model.twist(u)
+            us.append(np.asarray(u))
+            codes.append(int(diag.collision_code))
+            dwas.append(bool(diag.dwa_active))
+        outs[sp] = (np.stack(us), codes, dwas)
+    assert any(outs[16][2]), "DWA never fired; scene does not exercise safety"
+    np.testing.assert_array_equal(outs[16][0], outs[48][0])
+    assert outs[16][1] == outs[48][1]
+    assert outs[16][2] == outs[48][2]
