@@ -163,7 +163,7 @@ class ErgodicController:
                 Cbx, Cby = basis.cos_tables(s_buf, K, domain)
                 w_buf = jnp.full(s_buf.shape[0], jnp.where(n_hist > 0, 1.0, 0.0))
             else:
-                Cbx, Cby = basis.cos_tables(state.buffer.states, K, domain)
+                Cbx, Cby = basis.cos_tables(state.buffer.positions, K, domain)
                 w_buf = state.buffer.sample_mask(None, sub)  # (cap,)
                 n_hist = jnp.sum(w_buf)
             hist_sum = basis.coefficients_cos(Cbx, Cby, w_buf, hk)

@@ -14,6 +14,16 @@ are exposed via the controller config:
 - ``accumulate``: running sum of basis values over ALL visited states — an
   O(K^2)-per-append exact c_k with unbounded effective history; the
   TPU-native fast path (no per-solve O(capacity K^2) reduction).
+
+Layout notes (v5e profiling):
+- States are stored TRANSPOSED, (2, capacity): with (capacity, 2) the
+  coordinate axis lands on TPU lanes (2 of 128 used) and every append blend
+  and compaction matmul pays a 64x lane-padding tax. Batched append at
+  S=4096 measured 1.66 ms in the (cap, 2) layout.
+- With-replacement draws use a stateless integer hash (lowbias32) instead
+  of vmapped threefry: per-scenario `jax.random.uniform` measured ~1.2 ms
+  per step at S=4096 for 100 draws; sampling replay indices needs speed and
+  determinism, not cryptographic quality.
 """
 
 from __future__ import annotations
@@ -24,22 +34,54 @@ import jax
 import jax.numpy as jnp
 
 
+def _raw_key(key):
+    """(2,) uint32 words from a raw or typed PRNG key."""
+    if hasattr(key, "dtype") and jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
+    return key.astype(jnp.uint32)
+
+
+def _mix32(h):
+    """lowbias32 finalizer — a well-mixed 32-bit integer hash."""
+    h = (h ^ (h >> 16)) * jnp.uint32(0x7FEB352D)
+    h = (h ^ (h >> 15)) * jnp.uint32(0x846CA68B)
+    return h ^ (h >> 16)
+
+
+def uniform01(key, n: int):
+    """n deterministic uniforms in [0, 1) from a PRNG key — stateless hash,
+    ~10 elementwise ops/draw (vs a threefry block per 2 draws).
+
+    Uses the top 24 bits so every value is exactly representable in fp32 and
+    strictly < 1 (floor(u * count) can never index past the buffer)."""
+    k = _raw_key(key)
+    i = jnp.arange(n, dtype=jnp.uint32)
+    h = _mix32(i * jnp.uint32(2654435761) ^ k[0])
+    h = _mix32(h + k[1])
+    return (h >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
 class RingBuffer(NamedTuple):
-    states: jnp.ndarray  # (capacity, 2) visited positions
+    states: jnp.ndarray  # (2, capacity) visited positions, coordinate-major
     cursor: jnp.ndarray  # () int32: next write slot
     count: jnp.ndarray  # () int32: number of valid entries (<= capacity)
 
     @staticmethod
     def create(capacity: int) -> "RingBuffer":
         return RingBuffer(
-            states=jnp.zeros((capacity, 2), dtype=jnp.float32),
+            states=jnp.zeros((2, capacity), dtype=jnp.float32),
             cursor=jnp.zeros((), dtype=jnp.int32),
             count=jnp.zeros((), dtype=jnp.int32),
         )
 
     @property
     def capacity(self) -> int:
-        return self.states.shape[0]
+        return self.states.shape[1]
+
+    @property
+    def positions(self):
+        """(capacity, 2) view for point-major consumers (viz, tests)."""
+        return self.states.T
 
     def append(self, p) -> "RingBuffer":
         """Append one visited position (2,); overwrites oldest when full.
@@ -48,8 +90,8 @@ class RingBuffer(NamedTuple):
         dynamic updates with traced offsets to the slow TPU scatter path,
         while the blend is pure elementwise work (round-1 profiling)."""
         cap = self.capacity
-        hot = (jnp.arange(cap) == self.cursor)[:, None]  # (cap, 1)
-        states = jnp.where(hot, p[None, :2], self.states)
+        hot = (jnp.arange(cap) == self.cursor)[None, :]  # (1, cap)
+        states = jnp.where(hot, p[:2, None], self.states)
         return RingBuffer(
             states=states,
             cursor=(self.cursor + 1) % cap,
@@ -60,6 +102,12 @@ class RingBuffer(NamedTuple):
         """(capacity,) float mask of live entries."""
         idx = jnp.arange(self.capacity)
         return (idx < self.count).astype(jnp.float32)
+
+    def _draw_indices(self, batch: int, rng):
+        """With-replacement batch of valid-entry indices — the ONE draw
+        shared by :meth:`sample_mask` and :meth:`sample_states`."""
+        u = uniform01(rng, batch)
+        return jnp.floor(u * jnp.maximum(self.count, 1).astype(u.dtype)).astype(jnp.int32)
 
     def sample_mask(self, batch: Optional[int], rng) -> jnp.ndarray:
         """Weights (capacity,) for the c_k history term.
@@ -73,9 +121,7 @@ class RingBuffer(NamedTuple):
         if batch is None:
             return mask
         cap = self.capacity
-        # draw `batch` indices uniformly from [0, count); empty buffer -> no weight
-        u = jax.random.uniform(rng, (batch,))
-        idx = jnp.floor(u * jnp.maximum(self.count, 1).astype(u.dtype)).astype(jnp.int32)
+        idx = self._draw_indices(batch, rng)
         # multiplicity counts via comparison-reduce, NOT scatter-add:
         # .at[idx].add lowers to the slow TPU scatter path under vmap, the
         # (batch, cap) comparison fuses into one elementwise+reduce loop.
@@ -94,9 +140,9 @@ class RingBuffer(NamedTuple):
         batch << capacity. Returns (states (batch, 2), n_valid ()).
         """
         cap = self.capacity
-        u = jax.random.uniform(rng, (batch,))
-        idx = jnp.floor(u * jnp.maximum(self.count, 1).astype(u.dtype)).astype(jnp.int32)
-        onehot = (idx[:, None] == jnp.arange(cap)[None, :]).astype(jnp.float32)
-        states = jnp.matmul(onehot, self.states, precision=jax.lax.Precision.HIGHEST)
+        idx = self._draw_indices(batch, rng)
+        onehot = (idx[None, :] == jnp.arange(cap)[:, None]).astype(jnp.float32)
+        # (2, cap) @ (cap, batch): batch on lanes, MXU-shaped
+        states = jnp.matmul(self.states, onehot, precision=jax.lax.Precision.HIGHEST)
         n = jnp.where(self.count > 0, jnp.float32(batch), 0.0)
-        return states, n
+        return states.T, n

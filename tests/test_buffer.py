@@ -13,7 +13,7 @@ def test_append_and_valid_mask():
     buf = buf.append(jnp.array([1.0, 2.0]))
     buf = buf.append(jnp.array([3.0, 4.0]))
     assert int(buf.count) == 2
-    np.testing.assert_allclose(np.asarray(buf.states[:2]), [[1, 2], [3, 4]])
+    np.testing.assert_allclose(np.asarray(buf.positions[:2]), [[1, 2], [3, 4]])
     np.testing.assert_allclose(np.asarray(buf.valid_mask()), [1, 1, 0, 0])
 
 
@@ -23,7 +23,7 @@ def test_ring_wraps_and_overwrites_oldest():
         buf = buf.append(jnp.array([float(i), 0.0]))
     assert int(buf.count) == 3
     # slots: [3, 4, 2] (cursor wrapped twice)
-    got = sorted(float(v) for v in np.asarray(buf.states[:, 0]))
+    got = sorted(float(v) for v in np.asarray(buf.positions[:, 0]))
     assert got == [2.0, 3.0, 4.0]
     np.testing.assert_allclose(np.asarray(buf.valid_mask()), [1, 1, 1])
 
