@@ -28,10 +28,12 @@ def build_case(S: int, seed: int = 0):
     from ergodic_exploration_tpu.grid import Domain, GridMap
     from ergodic_exploration_tpu.ops import target as target_ops
 
-    # K=10, H=20, dt=0.1, grid_samples 100x100. use_pallas=True: the fused
-    # target-refresh kernel is Mosaic-validated on v5e (matches the XLA path
-    # to 2.2e-6; 2.0 ms vs 3.7 ms for the refresh stage — tools/tpu_probe.py).
-    cfg = default_config("cart")
+    # K=10, H=20, dt=0.1, grid_samples 100x100. Both Pallas kernels are
+    # Mosaic-validated on v5e (tools/tpu_probe.py, tools/tpu_fused.py):
+    # - use_pallas: fused target refresh (2.0 ms vs 3.7 ms XLA, 2.2e-6 match)
+    # - use_fused_solve: fused descent core (7.5 ms vs 11.0 ms full step,
+    #   |delta u| <= 2.4e-5, zero collision-code mismatches at S=4096)
+    cfg = default_config("cart").replace(use_fused_solve=True)
     assert cfg.horizon == 20 and cfg.grid_samples == (100, 100)
     engine = Engine(cfg)
     domain = Domain.create(0.0, 0.0, 5.0, 5.0)

@@ -100,10 +100,12 @@ class EngineConfig:
 
     # --- collision / barrier (L1 world + costs) ---
     # Side length (cells) of the local distance-field window used for ALL
-    # per-tick map queries (barrier knots, validation, DWA) — must cover the
-    # robot's one-tick reachable set plus d_safe (~1.2 m at 5 cm cells).
-    # Map access outside the patch clamps to its edge. See ops/patch.py.
-    patch_cells: int = 48
+    # per-tick map queries (barrier knots, validation, DWA). Queries happen
+    # AT trajectory positions (d_safe only thresholds the queried values),
+    # so the window must cover the saturated rollout reach
+    # H * dt * v_max (~0.4 m cart / ~0.6 m omni at defaults) plus margin;
+    # map access outside the patch clamps to its edge. See ops/patch.py.
+    patch_cells: int = 32
     # Central sub-window of the patch used for the safety stage's queries
     # (validation + DWA). Must cover the vel-limited reachable set of one
     # validation/DWA rollout (~vel_lim * horizon * dt + a cell of rounding;
@@ -126,6 +128,12 @@ class EngineConfig:
     # --- numerics / scale-out ---
     precision: str = "fp32"  # "fp32" | "bf16" (bf16 basis matmul inputs, fp32 accum)
     use_pallas: bool = True  # fused ergodic-reduction kernel where profitable
+    # Fused Pallas descent core for the batched Engine replan (rollout ->
+    # basis -> gradient -> barrier -> co-state -> update in ONE kernel;
+    # ops/solve_kernel.py). Semantics match the vmapped controller to fp32
+    # reassociation (~1e-6). Off by default: the interpreter path is slow on
+    # CPU; bench/TPU runs enable it.
+    use_fused_solve: bool = False
     # Unroll factor for the short sequential RK4 scans (rollout + co-state).
     # Per-step bodies are tiny (batch, 3) ops, so unrolling lets XLA fuse
     # across steps; sweepable on hardware (static -> recompiles on change).
@@ -168,6 +176,7 @@ def default_config(model: str = "cart") -> EngineConfig:
             r_diag=(0.001,) * 4,
             u_min=(-6.0,) * 4,
             u_max=(6.0,) * 4,
+            patch_cells=40,  # larger one-tick reach (~0.6 m at defaults)
         ).validate()
     raise ValueError(f"unknown model {model!r}")
 

@@ -97,7 +97,16 @@ class Engine:
         self._tick_one = _tick
 
         # batched cores (scenario axis = leading axis everywhere)
-        self._replan_batched = jax.vmap(ctrl.step)
+        if config.use_fused_solve:
+            from ergodic_exploration_tpu.ops.solve_kernel import replan_batched_fused
+
+            self._replan_batched = (
+                lambda st, x, vb, ph, wo: replan_batched_fused(
+                    self.config, model, st, x, vb, ph, wo
+                )
+            )
+        else:
+            self._replan_batched = jax.vmap(ctrl.step)
         self._tick_batched = jax.vmap(_tick)
 
         self._replan_jit = self._shard_jit(self._replan_fn, donate=(0,))

@@ -1,0 +1,443 @@
+"""Fused Pallas solve kernel: one program = one scenario tile's full ergodic
+descent step (SURVEY.md section 4.2 steps 3-6).
+
+The vmapped XLA path runs the per-tick pipeline as dozens of small kernels
+whose operands put tiny axes (state dim 3, controls 2-4, basis K=10) on TPU
+lanes — measured at S=4096: rollout 1.6 ms + basis/gradient 2.5 ms +
+barrier 1.7 ms + co-state 1.1 ms, all overhead, not flops. This kernel runs
+the whole chain VMEM-resident in the TRANSPOSED layout (scenario axis on
+lanes, the ops/pallas_kernels.py lesson):
+
+    rollout (RK4, H steps)  ->  cosine tables at the knots
+    -> c_k roll sum         ->  ergodic gradient
+    -> boundary + obstacle barrier (bilinear hat contractions against the
+       per-scenario distance-field patch)
+    -> backward co-state RK4 ->  u = clip(-R^-1 B^T rho)
+
+Everything is elementwise/VPU work on (..., tile) arrays; there is no MXU
+shape here (K, H, nu are all tiny), which is exactly why the XLA version
+was dispatch-bound.
+
+Both models fit one kernel: cart and omni are "body twist = static mixing
+rows (Mx, My, Mw) @ u, rotated by theta" (models/cart.py, models/omni.py),
+so A^T rho and B^T rho have closed forms in (cos th, sin th).
+
+Numerical contract: identical math to ErgodicController.step (fp32
+accumulation everywhere; the XLA path's HIGHEST matmuls are plain fp32
+adds/muls here). Parity is pinned by tests/test_solve_kernel.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@dataclass(frozen=True)
+class SolveParams:
+    """Static (hashable) parameters closed over by the kernel."""
+
+    H: int
+    K: int
+    nu: int
+    P: int  # patch cells
+    dt: float
+    gamma: float  # ergodic weight
+    beta: float  # barrier weight
+    b_eps: float
+    b_weight: float  # boundary barrier weight
+    o_weight: float  # obstacle barrier weight
+    b_radius: float
+    d_safe: float
+    d_min: float
+    r_inv: Tuple[float, ...]
+    u_min: Tuple[float, ...]
+    u_max: Tuple[float, ...]
+    mx: Tuple[float, ...]  # body-twist mixing rows: vx = mx @ u, ...
+    my: Tuple[float, ...]
+    mw: Tuple[float, ...]
+
+
+def model_rows(model):
+    """(Mx, My, Mw) static mixing rows for a cart/omni model."""
+    from ergodic_exploration_tpu.models.cart import Cart
+    from ergodic_exploration_tpu.models.omni import Omni, _SX, _SY, _SW
+
+    if isinstance(model, Cart):
+        r, b = model.wheel_radius, model.wheel_base
+        return (0.5 * r, 0.5 * r), (0.0, 0.0), (-r / b, r / b)
+    if isinstance(model, Omni):
+        r = model.wheel_radius
+        L = model.lx + model.ly
+        return (
+            tuple(0.25 * r * s for s in _SX),
+            tuple(0.25 * r * s for s in _SY),
+            tuple(0.25 * r / L * s for s in _SW),
+        )
+    raise TypeError(f"fused solve supports cart/omni, got {type(model)!r}")
+
+
+def params_from_config(cfg) -> SolveParams:
+    from ergodic_exploration_tpu.models import make_model
+
+    mx, my, mw = model_rows(make_model(cfg))
+    return SolveParams(
+        H=cfg.horizon, K=cfg.num_basis, nu=cfg.nu, P=cfg.patch_cells,
+        dt=cfg.dt, gamma=cfg.ergodic_weight, beta=cfg.barrier_weight,
+        b_eps=cfg.barrier_eps, b_weight=cfg.barrier_boundary_weight,
+        o_weight=cfg.barrier_obstacle_weight, b_radius=cfg.boundary_radius,
+        d_safe=cfg.d_safe, d_min=0.03,
+        r_inv=tuple(1.0 / r for r in cfg.r_diag),
+        u_min=tuple(cfg.u_min), u_max=tuple(cfg.u_max),
+        mx=mx, my=my, mw=mw,
+    )
+
+
+def _wrap(th):
+    """Heading wrap to (-pi, pi] — identical to utils.numerics.normalize_angle."""
+    return jnp.pi - jnp.mod(jnp.pi - th, 2.0 * jnp.pi)
+
+
+def _make_kernel(sp: SolveParams):
+    H, K, nu, P = sp.H, sp.K, sp.nu, sp.P
+    dt = float(sp.dt)
+
+    def kernel(x_r, u_r, hist_r, nh_r, phik_r, pd_r, pgx_r, pgy_r,
+               ps_r, po_r, pr_r, do_r, dl_r, un_r, met_r, bc_r):
+        T = x_r.shape[-1]
+        # basis constants built in-kernel from iota (pallas kernels cannot
+        # capture array constants): Sobolev weights Lambda_k and the
+        # normalization factor sqrt(c(k1) c(k2)) (basis.lambda_weights /
+        # basis.hk_norm)
+        k1g = jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 0).astype(jnp.float32)
+        k2g = jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 1).astype(jnp.float32)
+        lam_c = (1.0 + k1g * k1g + k2g * k2g) ** -1.5  # (K, K, 1)
+        c1 = jnp.where(k1g == 0.0, 1.0, 0.5)
+        c2 = jnp.where(k2g == 0.0, 1.0, 0.5)
+        sqc_c = jnp.sqrt(c1 * c2)
+        k_c = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0).astype(jnp.float32)[:, 0]  # (K,)
+
+        def twist(u_t):  # u_t: (nu, T) -> vx, vy, w each (T,)
+            vx = sum(sp.mx[i] * u_t[i] for i in range(nu))
+            vy = sum(sp.my[i] * u_t[i] for i in range(nu))
+            w = sum(sp.mw[i] * u_t[i] for i in range(nu))
+            return vx, vy, w + jnp.zeros((T,), jnp.float32)
+
+        # ---- 1. RK4 rollout; knots x_0..x_{H-1} ----
+        px, py, th = x_r[0, :], x_r[1, :], x_r[2, :]
+        kx, ky, kth = [], [], []
+        for t in range(H):
+            u_t = u_r[t]
+            vx, vy, w = twist(u_t)
+            kx.append(px)
+            ky.append(py)
+            kth.append(th)
+
+            def deriv(a_th):
+                c = jnp.cos(a_th)
+                s = jnp.sin(a_th)
+                return vx * c - vy * s, vx * s + vy * c
+
+            d1x, d1y = deriv(th)
+            d2x, d2y = deriv(th + 0.5 * dt * w)
+            d4x, d4y = deriv(th + dt * w)
+            # theta-dot is constant (= w), so k2 == k3 for x/y stages' theta
+            px = px + (dt / 6.0) * (d1x + 4.0 * d2x + d4x)
+            py = py + (dt / 6.0) * (d1y + 4.0 * d2y + d4y)
+            th = _wrap(th + dt * w)
+        KX = jnp.stack(kx)  # (H, T)
+        KY = jnp.stack(ky)
+        KTH = jnp.stack(kth)
+
+        # ---- 2. cosine tables at the knots (basis.tables) ----
+        Lx, Ly = dl_r[0, :], dl_r[1, :]  # (T,)
+        relx = KX - do_r[0, :][None, :]
+        rely = KY - do_r[1, :][None, :]
+        f1 = (jnp.pi * k_c)[:, None] / Lx[None, :]  # (K, T)
+        f2 = (jnp.pi * k_c)[:, None] / Ly[None, :]
+        ax = relx[:, None, :] * f1[None, :, :]  # (H, K, T)
+        ay = rely[:, None, :] * f2[None, :, :]
+        Cx, Sx = jnp.cos(ax), jnp.sin(ax)
+        Cy, Sy = jnp.cos(ay), jnp.sin(ay)
+        hk = jnp.sqrt(Lx * Ly)[None, None, :] * sqc_c  # (K, K, T)
+
+        # ---- 3. c_k over [history || rollout] (basis.coefficients) ----
+        roll = jnp.sum(Cx[:, :, None, :] * Cy[:, None, :, :], axis=0) / hk
+        M = nh_r[0, :] + float(H)  # (T,)
+        ck = (hist_r[:, :].reshape(K, K, T) + roll) / M[None, None, :]
+        dkk = ck - phik_r[:, :].reshape(K, K, T)
+        met_r[0, :] = jnp.sum(lam_c * dkk * dkk, axis=(0, 1))
+
+        # ---- 4. ergodic gradient at the knots (basis.ergodic_gradient) ----
+        Wh = lam_c * dkk / hk  # (K, K, T)
+        P1 = jnp.sum(Wh[None, :, :, :] * Cy[:, None, :, :], axis=2)  # (H, K, T)
+        P2 = jnp.sum(Wh[None, :, :, :] * Cx[:, :, None, :], axis=1)  # (H, K, T)
+        scale = (2.0 / M)[None, :]
+        ex = -scale * jnp.sum(Sx * f1[None, :, :] * P1, axis=1)  # (H, T)
+        ey = -scale * jnp.sum(Sy * f2[None, :, :] * P2, axis=1)
+
+        # ---- 5. barrier: boundary walls + obstacle patch queries ----
+        lox = do_r[0, :] + sp.b_eps
+        hix = do_r[0, :] + Lx - sp.b_eps
+        loy = do_r[1, :] + sp.b_eps
+        hiy = do_r[1, :] + Ly - sp.b_eps
+        ovx = jnp.maximum(KX - hix[None, :], 0.0)
+        unx = jnp.maximum(lox[None, :] - KX, 0.0)
+        ovy = jnp.maximum(KY - hiy[None, :], 0.0)
+        uny = jnp.maximum(loy[None, :] - KY, 0.0)
+        bval = sp.b_weight * (ovx**2 + unx**2 + ovy**2 + uny**2)  # (H, T)
+        bgx = 2.0 * sp.b_weight * (ovx - unx)
+        bgy = 2.0 * sp.b_weight * (ovy - uny)
+
+        # local fractional patch coords (PatchField._local_frac)
+        res = pr_r[0, :][None, :]
+        fx = (KX - po_r[0, :][None, :]) / res - 0.5 - ps_r[0, :][None, :]
+        fy = (KY - po_r[1, :][None, :]) / res - 0.5 - ps_r[1, :][None, :]
+        fx = jnp.clip(fx, 0.0, P - 1.001)
+        fy = jnp.clip(fy, 0.0, P - 1.001)
+        cells = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).astype(jnp.float32)  # (P, 1)
+        o_vals, o_gx, o_gy = [], [], []
+        for t in range(H):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[t][None, :] - cells))  # (P, T)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy[t][None, :] - cells))
+            # bilinear: sum_a wy[a] * sum_b patch[a, b] * wx[b]
+            row_d = jnp.sum(pd_r[:, :, :] * wx[None, :, :], axis=1)  # (P, T)
+            row_x = jnp.sum(pgx_r[:, :, :] * wx[None, :, :], axis=1)
+            row_y = jnp.sum(pgy_r[:, :, :] * wx[None, :, :], axis=1)
+            dv = jnp.sum(wy * row_d, axis=0)  # (T,)
+            gvx = jnp.sum(wy * row_x, axis=0)
+            gvy = jnp.sum(wy * row_y, axis=0)
+            # obstacle_barrier (ops/barrier.py)
+            d = jnp.maximum(dv - sp.b_radius, sp.d_min)
+            active = d < sp.d_safe
+            diff = jnp.where(active, 1.0 / d - 1.0 / sp.d_safe, 0.0)
+            o_vals.append(sp.o_weight * diff * diff)
+            dvdd = jnp.where(active, -2.0 * sp.o_weight * diff / (d * d), 0.0)
+            o_gx.append(dvdd * gvx)
+            o_gy.append(dvdd * gvy)
+        bval = bval + jnp.stack(o_vals)
+        bgx = bgx + jnp.stack(o_gx)
+        bgy = bgy + jnp.stack(o_gy)
+        bc_r[0, :] = jnp.mean(bval, axis=0)
+
+        # ---- 6. backward co-state RK4 + control update ----
+        g1 = sp.gamma * ex + sp.beta * bgx  # (H, T)
+        g2 = sp.gamma * ey + sp.beta * bgy
+        r1 = jnp.zeros((T,), jnp.float32)
+        r2 = jnp.zeros((T,), jnp.float32)
+        r3 = jnp.zeros((T,), jnp.float32)
+        u_new = [None] * H
+        for t in range(H - 1, -1, -1):
+            u_t = u_r[t]
+            vx, vy, w = twist(u_t)
+            c = jnp.cos(KTH[t])
+            s = jnp.sin(KTH[t])
+            a13 = -vx * s - vy * c
+            a23 = vx * c - vy * s
+
+            # rho integrates rho_dot = g + A^T rho backward (integrator.py):
+            # A^T rho = (0, 0, a13 r1 + a23 r2), so r1/r2 have the constant
+            # rates g1/g2 and the classical RK4 stages collapse (k3 == k2):
+            # r3 += dt/6 (k1 + 4 k2 + k4), r1 += dt g1, r2 += dt g2.
+            j1 = g1[t]
+            j2 = g2[t]
+            k1 = a13 * r1 + a23 * r2
+            k2 = a13 * (r1 + 0.5 * dt * j1) + a23 * (r2 + 0.5 * dt * j2)
+            k4 = a13 * (r1 + dt * j1) + a23 * (r2 + dt * j2)
+            r3 = r3 + (dt / 6.0) * (k1 + 4.0 * k2 + k4)
+            r1 = r1 + dt * j1
+            r2 = r2 + dt * j2
+
+            # u = clip(-R^-1 B^T rho); B^T rho via the rotated mixing rows
+            p = c * r1 + s * r2
+            q = -s * r1 + c * r2
+            cols = []
+            for i in range(nu):
+                bt = sp.mx[i] * p + sp.my[i] * q + sp.mw[i] * r3
+                cols.append(jnp.clip(-sp.r_inv[i] * bt,
+                                     sp.u_min[i], sp.u_max[i]))
+            u_new[t] = jnp.stack(cols)  # (nu, T)
+        un_r[:, :, :] = jnp.stack(u_new)  # (H, nu, T)
+
+    return kernel
+
+
+def fused_solve(sp: SolveParams, x, U, hist, nh, phik, pd, pgx, pgy,
+                pstart, porigin, pres, dorigin, dlen,
+                tile: int = 128, interpret=None):
+    """Run the fused descent step. All operands are TRANSPOSED (scenario
+    last): x (3,S), U (H,nu,S), hist/phik (K^2,S), nh/pres (1,S),
+    pd/pgx/pgy (P,P,S), pstart/porigin/dorigin/dlen (2,S).
+
+    Returns (U_new (H,nu,S), metric (1,S), barrier_mean (1,S)).
+    """
+    S = x.shape[-1]
+    while S % tile != 0:
+        tile //= 2
+    if tile < 1:
+        raise ValueError(f"S={S} has no power-of-two tile")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, K, nu, P = sp.H, sp.K, sp.nu, sp.P
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(dims + (tile,),
+                            (lambda i, _nd=nd: (0,) * _nd + (i,)),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _make_kernel(sp),
+        grid=(S // tile,),
+        in_specs=[
+            spec(3), spec(H, nu), spec(K * K), spec(1), spec(K * K),
+            spec(P, P), spec(P, P), spec(P, P),
+            spec(2), spec(2), spec(1), spec(2), spec(2),
+        ],
+        out_specs=(spec(H, nu), spec(1), spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, nu, S), jnp.float32),
+            jax.ShapeDtypeStruct((1, S), jnp.float32),
+            jax.ShapeDtypeStruct((1, S), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(x, U, hist, nh, phik, pd, pgx, pgy, pstart, porigin, pres,
+      dorigin, dlen)
+
+
+def replan_batched_fused(cfg, model, state, x, vb, phik, world):
+    """One batched replan tick with the fused kernel as the descent core —
+    drop-in for ``jax.vmap(ErgodicController.step)`` (same signature modulo
+    the leading scenario axis; semantics pinned by tests/test_solve_kernel).
+
+    XLA stages (patch extraction, history sampling, safety, state update)
+    sandwich the Pallas core exactly as ``ErgodicController.step`` orders
+    them (SURVEY.md section 4.2).
+    """
+    from ergodic_exploration_tpu.controller import ControllerState, StepDiagnostics
+    from ergodic_exploration_tpu.ops import basis
+    from ergodic_exploration_tpu.ops.collision import CRASH, validate_control
+    from ergodic_exploration_tpu.ops.dwa import dwa_control
+    from ergodic_exploration_tpu.ops.patch import extract_patch
+
+    S = x.shape[0]
+    K = cfg.num_basis
+    H = cfg.horizon
+    domain = world.domain  # batched leaves (S, ...)
+
+    patches = jax.vmap(lambda d, c: extract_patch(d, c, cfg.patch_cells))(
+        world.dist, x[:, :2]
+    )
+
+    # history over [buffer || rollout] — same three branches as the
+    # controller (ring+batch / ring full-concat / accumulate)
+    split = jax.vmap(jax.random.split)(state.rng)  # (S, 2, key)
+    rng, sub = split[:, 0], split[:, 1]
+
+    def hist_one(buf, ck_sum, hist_count, sb, dom):
+        hkl = basis.hk_norm(K, dom.lengths)
+        if cfg.history == "ring":
+            if cfg.buffer_batch is not None:
+                s_buf, n_hist = buf.sample_states(cfg.buffer_batch, sb)
+                Cbx, Cby = basis.cos_tables(s_buf, K, dom)
+                w_buf = jnp.full(s_buf.shape[0], jnp.where(n_hist > 0, 1.0, 0.0))
+            else:
+                Cbx, Cby = basis.cos_tables(buf.positions, K, dom)
+                w_buf = buf.sample_mask(None, sb)
+                n_hist = jnp.sum(w_buf)
+            return basis.coefficients_cos(Cbx, Cby, w_buf, hkl), n_hist
+        return ck_sum, hist_count.astype(jnp.float32)
+
+    hist_sum, n_hist = jax.vmap(hist_one)(
+        state.buffer, state.ck_sum, state.hist_count, sub, domain
+    )
+
+    # ---- the fused Pallas descent core (transposed operands) ----
+    # P must be the ACTUAL patch size: extract_patch clamps cfg.patch_cells
+    # to the map extent (tiny FAR fields in obstacle-free worlds).
+    sp = dataclasses.replace(
+        params_from_config(cfg), P=patches.dist.shape[-1]
+    )
+    t3 = lambda a: jnp.transpose(a, (1, 2, 0))
+    Unew_t, met, bc = fused_solve(
+        sp,
+        x.T,
+        t3(state.U),
+        hist_sum.reshape(S, K * K).T,
+        n_hist[None, :],
+        phik.reshape(S, K * K).T,
+        t3(patches.dist),
+        t3(patches.grad[..., 0]),
+        t3(patches.grad[..., 1]),
+        patches.start.T.astype(jnp.float32),
+        patches.origin.T,
+        patches.resolution[None, :],
+        domain.origin.T,
+        domain.lengths.T,
+    )
+    U_new = jnp.transpose(Unew_t, (2, 0, 1))  # (S, H, nu)
+    u0 = U_new[:, 0]
+
+    # ---- safety: validate u0, DWA fallback (cropped window) ----
+    if cfg.enable_safety:
+        crops = jax.vmap(lambda p: p.center_crop(cfg.safety_patch_cells))(patches)
+        code = jax.vmap(
+            lambda x0, uu, pa, dm: validate_control(model, x0, uu, dm, pa, cfg)
+        )(x, u0, crops, domain)
+        u_dwa, feasible = jax.vmap(
+            lambda x0, v, uu, pa, dm: dwa_control(model, x0, v, uu, dm, pa, cfg)
+        )(x, vb, u0, crops, domain)
+        use_dwa = code >= CRASH
+        u_cmd = jnp.where(use_dwa[:, None], u_dwa, u0)
+    else:
+        code = jnp.zeros((S,), dtype=jnp.int32)
+        feasible = jnp.ones((S,), dtype=bool)
+        use_dwa = jnp.zeros((S,), dtype=bool)
+        u_cmd = u0
+
+    # ---- divergence guard (per scenario, branch-free) ----
+    diverged = ~(
+        jnp.all(jnp.isfinite(U_new), axis=(1, 2)) & jnp.all(jnp.isfinite(u_cmd), axis=1)
+    )
+    U_new = jnp.where(diverged[:, None, None], 0.0, U_new)
+    u_cmd = jnp.where(diverged[:, None], 0.0, u_cmd)
+
+    # ---- warm-start shift + history append ----
+    U_next = jnp.concatenate(
+        [U_new[:, 1:], jnp.zeros((S, 1, cfg.nu), dtype=U_new.dtype)], axis=1
+    )
+    new_buffer = jax.vmap(lambda b, p: b.append(p))(state.buffer, x[:, :2])
+
+    def cksum_one(ck_sum, p, dom):
+        hkl = basis.hk_norm(K, dom.lengths)
+        Cnx, Cny = basis.cos_tables(p[None, :], K, dom)
+        return ck_sum + basis.coefficients_cos(Cnx, Cny, jnp.ones(1, jnp.float32), hkl)
+
+    ck_sum = jax.vmap(cksum_one)(state.ck_sum, x[:, :2], domain)
+
+    new_state = ControllerState(
+        U=U_next,
+        buffer=new_buffer,
+        ck_sum=ck_sum,
+        hist_count=state.hist_count + 1,
+        rng=rng,
+    )
+    diag = StepDiagnostics(
+        ergodic_metric=met[0],
+        barrier_cost=bc[0],
+        collision_code=code,
+        dwa_active=use_dwa,
+        dwa_feasible=feasible,
+        diverged=diverged,
+    )
+    return new_state, u_cmd, diag

@@ -1,0 +1,102 @@
+"""Fused Pallas descent core == vmapped ErgodicController.step.
+
+The fused path (ops/solve_kernel.py, interpret mode on CPU) must reproduce
+the reference-parity controller to fp32-reassociation tolerance across a
+multi-tick closed batch with obstacles, history sampling, and live safety.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ergodic_exploration_tpu.config import default_config
+from ergodic_exploration_tpu.engine import Engine
+from ergodic_exploration_tpu.grid import Domain, GridMap
+from ergodic_exploration_tpu.ops import target as target_ops
+
+
+def _case(model: str, S: int = 8, seed: int = 3):
+    cfg = default_config(model).replace(num_basis=6, buffer_capacity=64)
+    domain = Domain.create(0.0, 0.0, 3.0, 3.0)
+    rng = np.random.default_rng(seed)
+    x0 = np.concatenate(
+        [rng.uniform(0.4, 2.6, (S, 2)), rng.uniform(-np.pi, np.pi, (S, 1))], axis=1
+    ).astype(np.float32)
+    data = np.zeros((60, 60), np.float32)
+    data[28:32, 12:48] = 1.0  # wall through the middle
+    grids = GridMap(
+        data=jnp.broadcast_to(jnp.asarray(data), (S, 60, 60)),
+        origin=jnp.zeros((S, 2), jnp.float32),
+        resolution=jnp.full((S,), 0.05, jnp.float32),
+    )
+    gmm = target_ops.GaussianMixture.create(
+        means=rng.uniform(0.5, 2.5, (S, 2, 2)).astype(np.float32),
+        covs=np.tile((0.2 * np.eye(2, dtype=np.float32))[None, None], (S, 2, 1, 1)),
+        weights=np.ones((S, 2), np.float32),
+    )
+    return cfg, domain, x0, grids, gmm
+
+
+@pytest.mark.parametrize("model", ["cart", "omni"])
+@pytest.mark.parametrize("history", ["ring", "accumulate"])
+def test_fused_matches_vmapped_controller(model, history):
+    cfg, domain, x0, grids, gmm = _case(model)
+    cfg = cfg.replace(history=history)
+    outs = {}
+    for fused in (False, True):
+        eng = Engine(cfg.replace(use_fused_solve=fused))
+        sc = eng.init_scenarios(x0)
+        phik = eng.phik_from_gmm(gmm, domain)
+        world = eng.prepare_world(grids)
+        us, mets, codes, dwas = [], [], [], []
+        for _ in range(3):  # multi-tick: warm start + history accumulate
+            sc, u, diag = eng.replan(sc, phik, world)
+            us.append(np.asarray(u))
+            mets.append(np.asarray(diag.ergodic_metric))
+            codes.append(np.asarray(diag.collision_code))
+            dwas.append(np.asarray(diag.dwa_active))
+        outs[fused] = (np.stack(us), np.stack(mets), np.stack(codes),
+                       np.stack(dwas), jax.tree.map(np.asarray, sc))
+    u_ref, m_ref, c_ref, d_ref, sc_ref = outs[False]
+    u_fus, m_fus, c_fus, d_fus, sc_fus = outs[True]
+    np.testing.assert_allclose(u_fus, u_ref, atol=5e-5)
+    np.testing.assert_allclose(m_fus, m_ref, rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(c_fus, c_ref)
+    np.testing.assert_array_equal(d_fus, d_ref)
+    np.testing.assert_allclose(sc_fus.state.U, sc_ref.state.U, atol=5e-5)
+    np.testing.assert_allclose(
+        sc_fus.state.buffer.states, sc_ref.state.buffer.states, atol=1e-6
+    )
+    np.testing.assert_allclose(sc_fus.state.ck_sum, sc_ref.state.ck_sum,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_empty_world_and_boundary():
+    """Obstacle-free world (FAR distance field) + a start near the boundary:
+    the boundary barrier path and the FAR plateau must match too."""
+    cfg = default_config("cart").replace(num_basis=5, buffer_capacity=32)
+    domain = Domain.create(0.0, 0.0, 2.0, 2.0)
+    S = 8
+    x0 = np.array(
+        [[0.08, 0.1, 2.5], [1.9, 1.92, -0.5], [1.0, 0.05, 3.0], [0.1, 1.9, 0.1],
+         [0.5, 0.5, 1.0], [1.5, 1.5, -2.0], [1.0, 1.0, 0.0], [0.2, 1.0, -1.0]],
+        np.float32,
+    )
+    gmm = target_ops.GaussianMixture.create(
+        means=np.tile(np.array([[1.0, 1.0]], np.float32)[None], (S, 1, 1)),
+        covs=np.tile((0.15 * np.eye(2, dtype=np.float32))[None, None], (S, 1, 1, 1)),
+        weights=np.ones((S, 1), np.float32),
+    )
+    outs = {}
+    for fused in (False, True):
+        eng = Engine(cfg.replace(use_fused_solve=fused))
+        sc = eng.init_scenarios(x0)
+        phik = eng.phik_from_gmm(gmm, domain)
+        world = eng.empty_world(domain, S)
+        sc, u, diag = eng.replan(sc, phik, world)
+        outs[fused] = (np.asarray(u), np.asarray(diag.barrier_cost))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], atol=5e-5)
+    np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-5, atol=1e-7)
