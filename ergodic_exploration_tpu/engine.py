@@ -105,9 +105,16 @@ class Engine:
                     self.config, model, st, x, vb, ph, wo
                 )
             )
+
+            def _tick_batched(state, x, vb, phik, world):
+                state, u, diag = self._replan_batched(state, x, vb, phik, world)
+                x_next = jax.vmap(lambda xx, uu: rollout(model, xx, uu[None, :], dt)[-1])(x, u)
+                return state, x_next, model.twist(u), u, diag
+
+            self._tick_batched = _tick_batched
         else:
             self._replan_batched = jax.vmap(ctrl.step)
-        self._tick_batched = jax.vmap(_tick)
+            self._tick_batched = jax.vmap(_tick)
 
         self._replan_jit = self._shard_jit(self._replan_fn, donate=(0,))
         self._explore_jit = self._shard_jit(self._explore_fn, static_argnums=(3,), donate=(0,))

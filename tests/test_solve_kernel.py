@@ -100,3 +100,19 @@ def test_fused_empty_world_and_boundary():
         outs[fused] = (np.asarray(u), np.asarray(diag.barrier_cost))
     np.testing.assert_allclose(outs[True][0], outs[False][0], atol=5e-5)
     np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-5, atol=1e-7)
+
+
+def test_fused_explore_matches_vmapped():
+    """The on-device closed loop (Engine.explore) with the fused core must
+    track the vmapped loop: same trajectories and controls over 3 ticks."""
+    cfg, domain, x0, grids, gmm = _case("cart", S=8)
+    outs = {}
+    for fused in (False, True):
+        eng = Engine(cfg.replace(use_fused_solve=fused))
+        sc = eng.init_scenarios(x0)
+        phik = eng.phik_from_gmm(gmm, domain)
+        world = eng.prepare_world(grids)
+        out = eng.explore(sc, phik, world, n_ticks=3)
+        outs[fused] = (np.asarray(out.trajectory), np.asarray(out.controls))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], atol=5e-5)
+    np.testing.assert_allclose(outs[True][1], outs[False][1], atol=5e-5)
