@@ -388,15 +388,19 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
     U_new = jnp.transpose(Unew_t, (2, 0, 1))  # (S, H, nu)
     u0 = U_new[:, 0]
 
-    # ---- safety: validate u0, DWA fallback (cropped window) ----
+    # ---- safety: validate u0, DWA fallback (fused kernel, cropped window) ----
     if cfg.enable_safety:
         crops = jax.vmap(lambda p: p.center_crop(cfg.safety_patch_cells))(patches)
-        code = jax.vmap(
-            lambda x0, uu, pa, dm: validate_control(model, x0, uu, dm, pa, cfg)
-        )(x, u0, crops, domain)
-        u_dwa, feasible = jax.vmap(
-            lambda x0, v, uu, pa, dm: dwa_control(model, x0, v, uu, dm, pa, cfg)
-        )(x, vb, u0, crops, domain)
+        sps = safety_params_from_config(cfg, crops.dist.shape[-1])
+        code_t, udwa_t, feas_t = fused_safety(
+            sps, x.T, vb.T, u0.T,
+            t3(crops.dist), crops.start.T.astype(jnp.float32),
+            crops.origin.T, crops.resolution[None, :],
+            domain.origin.T, domain.lengths.T,
+        )
+        code = code_t[0]
+        u_dwa = udwa_t.T
+        feasible = feas_t[0].astype(bool)
         use_dwa = code >= CRASH
         u_cmd = jnp.where(use_dwa[:, None], u_dwa, u0)
     else:
@@ -441,3 +445,220 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
         diverged=diverged,
     )
     return new_state, u_cmd, diag
+
+
+# ---------------------------------------------------------------------------
+# fused safety kernel: emitted-control validation + DWA fallback
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SafetyParams:
+    """Static parameters for the fused validation+DWA kernel."""
+
+    nu: int
+    Pc: int  # cropped patch cells
+    b_radius: float
+    d_safe: float
+    val_dt: float
+    val_horizon: int
+    dwa_dt: float
+    dwa_horizon: int
+    samples: Tuple[int, int, int]
+    acc_lim: Tuple[float, float, float]
+    vel_lim: Tuple[float, float, float]
+    mx: Tuple[float, ...]
+    my: Tuple[float, ...]
+    mw: Tuple[float, ...]
+    finv: Tuple[Tuple[float, float, float], ...]  # (nu, 3): u = finv @ twist
+
+
+def _model_finv(model):
+    """Static body-twist -> wheel-velocity rows (models' from_twist)."""
+    from ergodic_exploration_tpu.models.cart import Cart
+    from ergodic_exploration_tpu.models.omni import Omni
+
+    if isinstance(model, Cart):
+        r, b = model.wheel_radius, model.wheel_base
+        return ((1.0 / r, 0.0, -0.5 * b / r), (1.0 / r, 0.0, 0.5 * b / r))
+    if isinstance(model, Omni):
+        r = model.wheel_radius
+        L = model.lx + model.ly
+        return (
+            (1.0 / r, -1.0 / r, -L / r),
+            (1.0 / r, 1.0 / r, L / r),
+            (1.0 / r, 1.0 / r, -L / r),
+            (1.0 / r, -1.0 / r, L / r),
+        )
+    raise TypeError(f"fused safety supports cart/omni, got {type(model)!r}")
+
+
+def safety_params_from_config(cfg, crop_cells: int) -> SafetyParams:
+    from ergodic_exploration_tpu.models import make_model
+
+    model = make_model(cfg)
+    mx, my, mw = model_rows(model)
+    return SafetyParams(
+        nu=cfg.nu, Pc=crop_cells, b_radius=cfg.boundary_radius,
+        d_safe=cfg.d_safe, val_dt=cfg.val_dt, val_horizon=cfg.val_horizon,
+        dwa_dt=cfg.dwa.dt, dwa_horizon=cfg.dwa.horizon,
+        samples=tuple(cfg.dwa.samples), acc_lim=tuple(cfg.dwa.acc_lim),
+        vel_lim=tuple(cfg.dwa.vel_lim), mx=mx, my=my, mw=mw,
+        finv=_model_finv(model),
+    )
+
+
+_INFEASIBLE = 1.0e9  # keep in sync with ops/dwa.py
+
+
+def _make_safety_kernel(sp: SafetyParams):
+    nu, Pc = sp.nu, sp.Pc
+    nvx, nvy, nw = sp.samples
+    C = nvx * nvy * nw
+
+    def kernel(x_r, vb_r, u0_r, pd_r, ps_r, po_r, pr_r, do_r, dl_r,
+               code_r, udwa_r, feas_r):
+        T = x_r.shape[-1]
+        x0, y0, th0 = x_r[0, :], x_r[1, :], x_r[2, :]
+        c0, s0 = jnp.cos(th0), jnp.sin(th0)
+        cells = jax.lax.broadcasted_iota(jnp.int32, (Pc, 1), 0).astype(jnp.float32)
+        res = pr_r[0, :]
+        Lx, Ly = dl_r[0, :], dl_r[1, :]
+
+        def twist(u):  # u: tuple/list of nu (..., T) arrays
+            vx = sum(sp.mx[i] * u[i] for i in range(nu))
+            vy = sum(sp.my[i] * u[i] for i in range(nu))
+            w = sum(sp.mw[i] * u[i] for i in range(nu))
+            return vx, vy, w
+
+        def arc(vx, vy, w, t):
+            """Exact constant-twist pose at time t (integrator.py
+            constant_twist_poses semantics, incl. the small-w series)."""
+            wt = w * t
+            s, c = jnp.sin(wt), jnp.cos(wt)
+            small = jnp.abs(w) < 1e-6
+            w_safe = jnp.where(small, 1.0, w)
+            a = jnp.where(small, t * (1.0 - wt * wt / 6.0), s / w_safe)
+            b = jnp.where(small, w * t * t * 0.5, (1.0 - c) / w_safe)
+            dxb = vx * a - vy * b
+            dyb = vx * b + vy * a
+            return x0 + c0 * dxb - s0 * dyb, y0 + s0 * dxb + c0 * dyb
+
+        def pose_code(px, py):
+            """Collision code at a position (ops/collision.py check_pose via
+            the cropped window's nearest-cell query)."""
+            fx = (px - po_r[0, :]) / res - 0.5 - ps_r[0, :]
+            fy = (py - po_r[1, :]) / res - 0.5 - ps_r[1, :]
+            ox = jnp.round(jnp.clip(fx, 0.0, Pc - 1.001))[None, :] == cells  # (Pc, T)
+            oy = jnp.round(jnp.clip(fy, 0.0, Pc - 1.001))[None, :] == cells
+            row = jnp.sum(pd_r[:, :, :] * ox.astype(jnp.float32)[None, :, :], axis=1)
+            clearance = jnp.sum(oy.astype(jnp.float32) * row, axis=0)  # (T,)
+            d = clearance - sp.b_radius
+            relx = px - do_r[0, :]
+            rely = py - do_r[1, :]
+            inside = (relx >= 0.0) & (relx <= Lx) & (rely >= 0.0) & (rely <= Ly)
+            crash = (~inside) | (d <= 0.0)
+            warn = d < sp.d_safe
+            return jnp.where(crash, 2, jnp.where(warn, 1, 0)).astype(jnp.int32)
+
+        # ---- validation of u0 (collision.validate_control) ----
+        u0 = [u0_r[i, :] for i in range(nu)]
+        vx0, vy0, w0 = twist(u0)
+        code = jnp.zeros((T,), jnp.int32)
+        for t in range(1, sp.val_horizon + 1):
+            px, py = arc(vx0, vy0, w0, sp.val_dt * t)
+            code = jnp.maximum(code, pose_code(px, py))
+        code_r[0, :] = code
+
+        # ---- DWA candidate sweep (ops/dwa.py), VECTORIZED over the C
+        # candidates (leading axis) so only steps and patch rows unroll ----
+        def axis_samples(center, acc, vmax, n):
+            if n == 1:
+                return [jnp.zeros((T,), jnp.float32)]
+            lo = jnp.clip(center - acc * sp.dwa_dt, -vmax, vmax)
+            hi = jnp.clip(center + acc * sp.dwa_dt, -vmax, vmax)
+            return [lo + (hi - lo) * (i / (n - 1)) for i in range(n)]
+
+        vxs = axis_samples(vb_r[0, :], sp.acc_lim[0], sp.vel_lim[0], nvx)
+        vys = axis_samples(vb_r[1, :], sp.acc_lim[1], sp.vel_lim[1], nvy)
+        ws = axis_samples(vb_r[2, :], sp.acc_lim[2], sp.vel_lim[2], nw)
+        # meshgrid(indexing="ij") flatten order: vx outer, vy mid, omega inner
+        cvx = jnp.stack([vx for vx in vxs for _ in vys for _ in ws])  # (C, T)
+        cvy = jnp.stack([vy for _ in vxs for vy in vys for _ in ws])
+        cw = jnp.stack([w for _ in vxs for _ in vys for w in ws])
+        u_c = [
+            sp.finv[i][0] * cvx + sp.finv[i][1] * cvy + sp.finv[i][2] * cw
+            for i in range(nu)
+        ]  # nu x (C, T)
+        rvx, rvy, rw = twist(u_c)  # realized twists (C, T)
+
+        crash = jnp.zeros((C, T), jnp.bool_)
+        for t in range(1, sp.dwa_horizon + 1):
+            px, py = arc(rvx, rvy, rw, sp.dwa_dt * t)  # (C, T)
+            fx = (px - po_r[0, :][None, :]) / res[None, :] - 0.5 - ps_r[0, :][None, :]
+            fy = (py - po_r[1, :][None, :]) / res[None, :] - 0.5 - ps_r[1, :][None, :]
+            ox = (jnp.round(jnp.clip(fx, 0.0, Pc - 1.001))[:, None, :]
+                  == cells[None, :, :]).astype(jnp.float32)  # (C, Pc, T)
+            oy = (jnp.round(jnp.clip(fy, 0.0, Pc - 1.001))[:, None, :]
+                  == cells[None, :, :]).astype(jnp.float32)
+            clearance = jnp.zeros((C, T), jnp.float32)
+            for a in range(Pc):  # clearance = sum_a oy[a] * (pd[a] @ ox)
+                row = jnp.sum(pd_r[a, :, :][None, :, :] * ox, axis=1)  # (C, T)
+                clearance = clearance + oy[:, a, :] * row
+            inside = ((px >= do_r[0, :][None, :]) & (px <= (do_r[0, :] + Lx)[None, :])
+                      & (py >= do_r[1, :][None, :]) & (py <= (do_r[1, :] + Ly)[None, :]))
+            crash = crash | (~inside) | (clearance - sp.b_radius <= 0.0)
+
+        cost = (rvx - vx0[None, :]) ** 2 + (rvy - vy0[None, :]) ** 2 + (rw - w0[None, :]) ** 2
+        cost = jnp.where(crash, _INFEASIBLE, cost)  # (C, T)
+        best_cost = jnp.min(cost, axis=0)  # (T,)
+        # first-argmin pick (jnp.argmin parity): earliest candidate achieving
+        # the min, selected with a one-hot built from a running prefix mask
+        is_min = cost == best_cost[None, :]
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0).astype(jnp.float32)
+        first = jnp.min(jnp.where(is_min, cidx, float(C)), axis=0)  # (T,)
+        onehot = (cidx == first[None, :]).astype(jnp.float32)  # (C, T)
+        feasible = best_cost < _INFEASIBLE
+        feas_r[0, :] = feasible.astype(jnp.int32)
+        for i in range(nu):
+            u_i = jnp.sum(onehot * u_c[i], axis=0)
+            udwa_r[i, :] = jnp.where(feasible, u_i, 0.0)
+
+    return kernel, C
+
+
+def fused_safety(sp: SafetyParams, x, vb, u0, pd, pstart, porigin, pres,
+                 dorigin, dlen, tile: int = 128, interpret=None):
+    """Fused validation + DWA. Transposed operands: x/vb (3,S), u0 (nu,S),
+    pd (Pc,Pc,S) cropped clearance window, pstart/porigin/dorigin/dlen (2,S),
+    pres (1,S). Returns (code (1,S) i32, u_dwa (nu,S), feasible (1,S) i32)."""
+    S = x.shape[-1]
+    while S % tile != 0:
+        tile //= 2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kernel, _ = _make_safety_kernel(sp)
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(dims + (tile,),
+                            (lambda i, _nd=nd: (0,) * _nd + (i,)),
+                            memory_space=pltpu.VMEM)
+
+    Pc, nu = sp.Pc, sp.nu
+    return pl.pallas_call(
+        kernel,
+        grid=(S // tile,),
+        in_specs=[spec(3), spec(3), spec(nu), spec(Pc, Pc),
+                  spec(2), spec(2), spec(1), spec(2), spec(2)],
+        out_specs=(spec(1), spec(nu), spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, S), jnp.int32),
+            jax.ShapeDtypeStruct((nu, S), jnp.float32),
+            jax.ShapeDtypeStruct((1, S), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(x, vb, u0, pd, pstart, porigin, pres, dorigin, dlen)
