@@ -199,6 +199,17 @@ _REFERENCE_PARAM_MAP = {
 }
 
 
+def _as_bool(val) -> bool:
+    """Strict bool coercion: YAML bools, 0/1, and true/false strings only."""
+    if isinstance(val, bool):
+        return val
+    if isinstance(val, (int, float)) and val in (0, 1):
+        return bool(val)
+    if isinstance(val, str) and val.strip().lower() in ("true", "false", "yes", "no", "on", "off"):
+        return val.strip().lower() in ("true", "yes", "on")
+    raise ValueError(f"cannot interpret {val!r} as a bool config value")
+
+
 def load_yaml_config(path_or_dict) -> EngineConfig:
     """Build an :class:`EngineConfig` from a reference-style YAML file or dict.
 
@@ -261,23 +272,25 @@ def load_yaml_config(path_or_dict) -> EngineConfig:
         updates["dwa"] = dataclasses.replace(cfg.dwa, **dwa_kw)
 
     field_names = {f.name for f in dataclasses.fields(EngineConfig)}
+    # Coerce by the DEFAULT VALUE's type so every scalar field round-trips
+    # with its declared type (bool before int: isinstance(True, int) is True).
+    defaults = EngineConfig()
     for key, val in list(raw.items()):
         field = _REFERENCE_PARAM_MAP.get(key, key if key in field_names else None)
         if field is None:
             continue  # ignore ROS-only params (frame ids, topic names, frequency)
-        ftype = EngineConfig.__dataclass_fields__[field].type
-        if field in ("horizon", "num_basis", "buffer_capacity", "val_horizon"):
-            updates[field] = int(val)
-        elif field == "buffer_batch":
+        default = getattr(defaults, field)
+        if field == "buffer_batch":
             updates[field] = None if val is None else int(val)
-        elif field in ("history", "precision", "model"):
-            updates[field] = str(val)
-        elif field == "use_pallas":
-            updates[field] = bool(val)
-        elif field == "grid_samples":
-            pass
-        else:
+        elif isinstance(default, bool):
+            updates[field] = _as_bool(val)
+        elif isinstance(default, int):
+            updates[field] = int(val)
+        elif isinstance(default, float):
             updates[field] = float(val)
-        del ftype
+        elif isinstance(default, str):
+            updates[field] = str(val)
+        # tuple / nested-dataclass fields (grid_samples, r_diag, dwa, ...)
+        # are handled by the explicit blocks above; ignore here.
 
     return cfg.replace(**updates).validate()

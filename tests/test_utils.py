@@ -39,3 +39,61 @@ def test_viz_renders_figure(tmp_path):
     fig.savefig(str(out))
     plt.close(fig)
     assert out.exists() and out.stat().st_size > 1000
+
+
+# ------------------------------------------------------------- checkpoint
+
+
+def test_checkpoint_v2_roundtrip_and_validation(tmp_path):
+    """VERDICT r1 item 7: path-keyed leaves, shape validation, version tag."""
+    import json
+    from typing import NamedTuple
+
+    import pytest
+
+    from ergodic_exploration_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    class State(NamedTuple):
+        U: jnp.ndarray
+        ck_sum: jnp.ndarray
+
+    st = State(U=jnp.arange(6.0).reshape(2, 3), ck_sum=jnp.ones((2, 3)) * 7)
+    p = str(tmp_path / "ck.npz")
+    save_pytree(p, st)
+
+    # roundtrip
+    back = load_pytree(p, State(jnp.zeros((2, 3)), jnp.zeros((2, 3))))
+    np.testing.assert_array_equal(np.asarray(back.U), np.asarray(st.U))
+    np.testing.assert_array_equal(np.asarray(back.ck_sum), np.asarray(st.ck_sum))
+
+    # a REORDERED NamedTuple with identical leaf shapes must fail loudly
+    # (v1 silently loaded U into ck_sum here)
+    class Swapped(NamedTuple):
+        ck_sum: jnp.ndarray
+        U: jnp.ndarray
+
+    with pytest.raises(ValueError, match="keys do not match"):
+        load_pytree(p, Swapped(jnp.zeros((2, 3)), jnp.zeros((2, 3))))
+
+    # wrong shape fails loudly
+    with pytest.raises(ValueError, match="shape"):
+        load_pytree(p, State(jnp.zeros((3, 2)), jnp.zeros((2, 3))))
+
+    # future format version fails loudly
+    data = dict(np.load(p))
+    meta = json.loads(str(data["__meta__"]))
+    meta["version"] = 99
+    data["__meta__"] = np.array(json.dumps(meta))
+    p2 = str(tmp_path / "future.npz")
+    np.savez(p2, **data)
+    with pytest.raises(ValueError, match="version"):
+        load_pytree(p2, State(jnp.zeros((2, 3)), jnp.zeros((2, 3))))
+
+
+def test_checkpoint_legacy_v1_still_loads(tmp_path):
+    from ergodic_exploration_tpu.utils.checkpoint import load_pytree
+
+    p = str(tmp_path / "v1.npz")
+    np.savez(p, leaf_0000=np.ones((2,)), leaf_0001=np.zeros((3,)))
+    tree = load_pytree(p, {"a": jnp.zeros(2), "b": jnp.zeros(3)})
+    np.testing.assert_array_equal(tree["a"], np.ones(2))
