@@ -24,7 +24,7 @@ TPU-first redesign:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,11 @@ class World(NamedTuple):
 
     domain: Domain
     dist: DistanceField
+    # Optional (N,) free-space weights at the engine's phi sample lattice
+    # (1 = free/unknown, 0 = occupied). Used by the target refresh so phi is
+    # normalized over FREE space (reference ``target.hpp`` semantics,
+    # SURVEY.md A.3); the controller itself never reads it. None = no mask.
+    free_mask: Optional[jnp.ndarray] = None
 
     @staticmethod
     def empty(domain: Domain, shape=(2, 2)) -> "World":

@@ -121,7 +121,9 @@ class Engine:
         # cached jitted preprocessing (re-wrapping per call would recompile)
         self._prepare_world_jit = jax.jit(jax.vmap(self._world_one))
         self._phik_from_gmm_jit = jax.jit(self._phik_from_gmm_fn)
+        self._phik_gmm_sharded_jit = jax.jit(self._phik_gmm_sharded_fn)
         self._phik_grid_jits = {}  # sensor_radius_cells -> jitted batched fn
+        self._phik_grid_sharded_jits = {}  # sensor_radius_cells -> jitted sharded fn
 
     # ------------------------------------------------------------------
     # sharding plumbing
@@ -167,26 +169,33 @@ class Engine:
         state = jax.vmap(lambda k: self.controller.init_state(k))(keys)
         return self.shard_scenarios(Scenarios(state=state, x=x0, vb=vb0))
 
-    def _world_one(self, g: GridMap) -> World:
+    def _free_mask_one(self, g: GridMap, domain: Domain) -> jnp.ndarray:
+        """(N,) free-space weights at the phi sample lattice: 1 where the map
+        is below the occupancy threshold (unknown cells count as free, like
+        the single-robot node), 0 in obstacles. Reference ``target.hpp``:
+        "GMM phi normalized over free space" (SURVEY.md section 3 / A.3)."""
+        pts = domain.sample_lattice(self.config.grid_samples)
+        occ = g.occupancy_at(pts)
+        return (occ < self.config.occupied_threshold).astype(jnp.float32)
+
+    def _world_one(self, g: GridMap, domain: Optional[Domain] = None) -> World:
+        dom = g.domain() if domain is None else domain
         return World(
-            domain=g.domain(),
+            domain=dom,
             dist=DistanceField.from_grid(g, self.config.occupied_threshold),
+            free_mask=self._free_mask_one(g, dom),
         )
 
     def prepare_world(self, grids: GridMap, domain: Optional[Domain] = None) -> World:
-        """Batched world preprocessing: EDT + gradient per map (the
-        build-side ``mapCallback``, SURVEY.md section 4.3). ``grids`` leaves
-        carry a leading (S, ...) axis. The domain is each map's extent
-        (``domain`` arg kept for backward compatibility; ignored when None)."""
+        """Batched world preprocessing: EDT + gradient + free-space phi mask
+        per map (the build-side ``mapCallback``, SURVEY.md section 4.3).
+        ``grids`` leaves carry a leading (S, ...) axis. The domain is each
+        map's extent (``domain`` arg kept for backward compatibility;
+        ignored when None)."""
         if domain is not None:
-
-            def one(g: GridMap) -> World:
-                return World(
-                    domain=domain,
-                    dist=DistanceField.from_grid(g, self.config.occupied_threshold),
-                )
-
-            return self.shard_scenarios(jax.jit(jax.vmap(one))(grids))
+            return self.shard_scenarios(
+                jax.jit(jax.vmap(lambda g: self._world_one(g, domain)))(grids)
+            )
         return self.shard_scenarios(self._prepare_world_jit(grids))
 
     def empty_world(self, domain: Domain, n: int) -> World:
@@ -194,15 +203,24 @@ class Engine:
         one = World.empty(domain)
         return self.shard_scenarios(jax.tree.map(lambda a: jnp.broadcast_to(a, (n,) + a.shape), one))
 
-    def _phik_from_gmm_fn(self, gmm, domain: Domain) -> jnp.ndarray:
+    def _phik_from_gmm_fn(self, gmm, domain: Domain, free_mask=None) -> jnp.ndarray:
         """Pure batched target-coefficient computation (traceable).
 
         Shared-domain fast path: when ``domain`` is unbatched, the sample
         lattice and the dense basis table D (N, K^2) are scenario-invariant,
         so the whole batch reduces in one (S, N) @ (N, K^2) MXU matmul —
         this is the "10k grid samples" reduction of the headline metric laid
-        out the TPU way (no per-scenario (N, K) tables)."""
+        out the TPU way (no per-scenario (N, K) tables).
+
+        ``free_mask``: optional (S, N) free-space weights; phi is masked
+        before normalization (reference A.3 "normalized over free space")."""
         from ergodic_exploration_tpu.ops import basis
+
+        if self._use_sample_sharding(domain):
+            # SP analog: sample-axis sharded reduction with psum combines —
+            # replan_refresh and phik_from_gmm both ride this when the mesh
+            # has a populated ``sample`` axis (SURVEY.md section 3).
+            return self._phik_gmm_sharded_fn(gmm, domain, free_mask)
 
         cfg = self.config
         K = cfg.num_basis
@@ -213,38 +231,64 @@ class Engine:
             D = basis.dense_table(tbl, hk)
             S = gmm.means.shape[0]
             if cfg.use_pallas and S % 8 == 0:
-                # fused Pallas kernel: GMM eval + normalize + contraction in
-                # one VMEM-resident pass (ops/pallas_kernels.py)
+                # fused Pallas kernel: GMM eval + mask + normalize +
+                # contraction in one VMEM-resident pass (ops/pallas_kernels.py)
                 from ergodic_exploration_tpu.ops.pallas_kernels import phik_from_gmm_pallas
 
-                out = phik_from_gmm_pallas(gmm.means, gmm.covs, gmm.weights, pts, D)
+                out = phik_from_gmm_pallas(
+                    gmm.means, gmm.covs, gmm.weights, pts, D, free_mask=free_mask
+                )
                 return out.reshape(S, K, K)
-            phi = jax.vmap(lambda g: target_ops.gmm_target_values(pts, g))(gmm)  # (S, N)
+            if free_mask is None:
+                phi = jax.vmap(lambda g: target_ops.gmm_target_values(pts, g))(gmm)
+            else:
+                phi = jax.vmap(
+                    lambda g, m: target_ops.gmm_target_values(pts, g, free_mask=m)
+                )(gmm, free_mask)  # (S, N)
             return basis.coefficients_dense(phi, D, K)
 
-        def one(g, dom):
+        def one(g, dom, m):
             pts = dom.sample_lattice(cfg.grid_samples)
-            phi = target_ops.gmm_target_values(pts, g)
+            phi = target_ops.gmm_target_values(pts, g, free_mask=m)
             return self.controller.target_coefficients(phi, pts, dom)
 
-        return jax.vmap(one)(gmm, domain)
+        if free_mask is None:
+            return jax.vmap(lambda g, dom: one(g, dom, None))(gmm, domain)
+        return jax.vmap(one)(gmm, domain, free_mask)
 
-    def phik_from_gmm(self, gmm, domain: Domain) -> jnp.ndarray:
-        """Batched target coefficients for GMM targets; gmm leaves (S, ...)."""
-        if self.mesh is not None and self.SAMPLE_AXIS in self.mesh.axis_names and domain.origin.ndim == 1:
-            return self.phik_from_gmm_sample_sharded(gmm, domain)
-        return self.shard_scenarios(self._phik_from_gmm_jit(gmm, domain))
+    def phik_from_gmm(self, gmm, domain: Domain, free_mask=None) -> jnp.ndarray:
+        """Batched target coefficients for GMM targets; gmm leaves (S, ...).
 
-    def phik_from_gmm_sample_sharded(self, gmm, domain: Domain) -> jnp.ndarray:
-        """phi_k with the GRID-SAMPLE axis sharded across the mesh's
-        ``sample`` dimension — this project's sequence-parallelism analog
-        (SURVEY.md sections 3 and 6: the "long axis" is the 10k-sample
-        ergodic reduction, combined with ICI ``psum`` collectives).
+        ``free_mask`` may be an (S, N) array or a batched :class:`World`
+        (its ``free_mask`` field is used) so callers can do
+        ``engine.phik_from_gmm(gmm, domain, world)``."""
+        if isinstance(free_mask, World):
+            free_mask = free_mask.free_mask
+        if self._use_sample_sharding(domain):
+            return self.phik_from_gmm_sample_sharded(gmm, domain, free_mask)
+        return self.shard_scenarios(self._phik_from_gmm_jit(gmm, domain, free_mask))
+
+    def _use_sample_sharding(self, domain: Domain) -> bool:
+        return (
+            self.mesh is not None
+            and self.SAMPLE_AXIS in self.mesh.axis_names
+            and self.mesh.shape[self.SAMPLE_AXIS] > 1
+            and domain.origin.ndim == 1
+        )
+
+    def _phik_gmm_sharded_fn(self, gmm, domain: Domain, free_mask=None) -> jnp.ndarray:
+        """Traceable phi_k with the GRID-SAMPLE axis sharded across the
+        mesh's ``sample`` dimension — this project's sequence-parallelism
+        analog (SURVEY.md sections 3 and 6: the "long axis" is the
+        10k-sample ergodic reduction, combined with ICI ``psum``
+        collectives). Composes under the engine's jitted tick, so
+        :meth:`replan_refresh` rides it when the mesh has a sample axis.
 
         Layout: sample lattice and dense basis table D split over
-        ``sample``; each device evaluates its phi shard, a first psum forms
-        the global normalizer, a second psum reduces the (S, K^2) partial
-        coefficient products. Requires an unbatched (shared) domain.
+        ``sample``; each device evaluates (and free-space-masks) its phi
+        shard, a first psum forms the global normalizer, a second psum
+        reduces the (S, K^2) partial coefficient products. Requires an
+        unbatched (shared) domain.
         """
         from functools import partial
 
@@ -254,25 +298,31 @@ class Engine:
 
         cfg = self.config
         K = cfg.num_basis
-        mesh = self.mesh
         pts = domain.sample_lattice(cfg.grid_samples)  # (N, 2)
         tbl = basis.tables(pts, K, domain)
         hk = basis.hk_norm(K, domain.lengths)
         D = basis.dense_table(tbl, hk)  # (N, K^2)
 
+        mask_spec = (
+            P() if free_mask is None else P(self.SCENARIO_AXIS, self.SAMPLE_AXIS)
+        )
+
         @partial(
             shard_map,
-            mesh=mesh,
+            mesh=self.mesh,
             in_specs=(
                 jax.tree.map(lambda _: P(self.SCENARIO_AXIS), gmm),
                 P(self.SAMPLE_AXIS, None),
                 P(self.SAMPLE_AXIS, None),
+                mask_spec,
             ),
             out_specs=P(self.SCENARIO_AXIS, None, None),
         )
-        def block(gmm_blk, pts_blk, D_blk):
+        def block(gmm_blk, pts_blk, D_blk, mask_blk):
             phi_un = jax.vmap(lambda g: target_ops.gmm_eval(pts_blk, g))(gmm_blk)
             phi_un = jnp.maximum(phi_un, 0.0)  # (S_blk, N_blk)
+            if mask_blk is not None:
+                phi_un = phi_un * mask_blk.astype(phi_un.dtype)
             total = jax.lax.psum(jnp.sum(phi_un, axis=1), self.SAMPLE_AXIS)  # (S_blk,)
             phi = phi_un / jnp.maximum(total, 1e-12)[:, None]
             partial_ck = jnp.matmul(
@@ -282,7 +332,65 @@ class Engine:
             ck = jax.lax.psum(partial_ck, self.SAMPLE_AXIS)  # (S_blk, K^2)
             return ck.reshape(ck.shape[0], K, K)
 
-        return jax.jit(block)(gmm, pts, D)
+        return block(gmm, pts, D, free_mask)
+
+    def phik_from_gmm_sample_sharded(self, gmm, domain: Domain, free_mask=None) -> jnp.ndarray:
+        """Sample-sharded phi_k through the engine's CACHED jit (one compile
+        per (structure, mask-presence) signature — re-wrapping a fresh
+        closure per call used to recompile every tick)."""
+        if isinstance(free_mask, World):
+            free_mask = free_mask.free_mask
+        return self._phik_gmm_sharded_jit(gmm, domain, free_mask)
+
+    def _phik_grid_sharded_fn(self, grids: GridMap, sensor_radius_cells: int = 0) -> jnp.ndarray:
+        """Traceable MI-target phi_k with the sample axis sharded (the MI
+        twin of :meth:`_phik_gmm_sharded_fn`): each device computes the full
+        per-scenario information map (map-space work is not shardable along
+        samples), gathers its OWN shard of the lattice, and the normalizer +
+        coefficient reductions combine with ``psum``."""
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+
+        from ergodic_exploration_tpu.ops import basis
+
+        cfg = self.config
+        K = cfg.num_basis
+        # All scenarios must share the lattice for sample sharding; use the
+        # first map's domain (callers batch identical extents).
+        g0 = jax.tree.map(lambda a: a[0], grids)
+        dom = g0.domain()
+        pts = dom.sample_lattice(cfg.grid_samples)
+        tbl = basis.tables(pts, K, dom)
+        hk = basis.hk_norm(K, dom.lengths)
+        D = basis.dense_table(tbl, hk)
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                jax.tree.map(lambda _: P(self.SCENARIO_AXIS), grids),
+                P(self.SAMPLE_AXIS, None),
+                P(self.SAMPLE_AXIS, None),
+            ),
+            out_specs=P(self.SCENARIO_AXIS, None, None),
+        )
+        def block(grids_blk, pts_blk, D_blk):
+            def vals_one(g):
+                info = target_ops.mutual_information_map(g, sensor_radius_cells)
+                return jnp.maximum(target_ops.sample_map_at(info, g, pts_blk), 0.0)
+
+            vals = jax.vmap(vals_one)(grids_blk)  # (S_blk, N_blk)
+            total = jax.lax.psum(jnp.sum(vals, axis=1), self.SAMPLE_AXIS)
+            phi = vals / jnp.maximum(total, 1e-12)[:, None]
+            partial_ck = jnp.matmul(
+                phi, D_blk, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            ck = jax.lax.psum(partial_ck, self.SAMPLE_AXIS)
+            return ck.reshape(ck.shape[0], K, K)
+
+        return block(grids, pts, D)
 
     def _phik_grid_one(self, g: GridMap, sensor_radius_cells: int = 0):
         cfg = self.config
@@ -293,10 +401,21 @@ class Engine:
 
     def phik_from_grid(self, grids: GridMap, sensor_radius_cells: int = 0) -> jnp.ndarray:
         """Batched mutual-information target coefficients recomputed from the
-        (evolving) occupancy grids — BASELINE config 4."""
-        f = self._phik_grid_jits.get(sensor_radius_cells)
+        (evolving) occupancy grids — BASELINE config 4. Rides the sample-
+        sharded reduction when the mesh has a populated ``sample`` axis."""
+        r = sensor_radius_cells
+        if (
+            self.mesh is not None
+            and self.SAMPLE_AXIS in self.mesh.axis_names
+            and self.mesh.shape[self.SAMPLE_AXIS] > 1
+        ):
+            f = self._phik_grid_sharded_jits.get(r)
+            if f is None:
+                f = jax.jit(lambda g: self._phik_grid_sharded_fn(g, r))
+                self._phik_grid_sharded_jits[r] = f
+            return f(grids)
+        f = self._phik_grid_jits.get(r)
         if f is None:
-            r = sensor_radius_cells
             f = jax.jit(jax.vmap(lambda g: self._phik_grid_one(g, r)))
             self._phik_grid_jits[r] = f
         return self.shard_scenarios(f(grids))
@@ -321,7 +440,8 @@ class Engine:
 
         with np.load(path) as data:
             # every Scenarios leaf has the scenario count as its leading axis
-            S = data[sorted(data.files)[0]].shape[0]
+            leaf_keys = sorted(k for k in data.files if k.startswith("leaf_"))
+            S = data[leaf_keys[0]].shape[0]
         like = self.init_scenarios(np.zeros((S, 3), np.float32))
         return self.shard_scenarios(load_pytree(path, like))
 
@@ -342,10 +462,11 @@ class Engine:
         return self._replan_jit(sc, phik, world)
 
     def _refresh_and_replan_fn(self, sc: Scenarios, gmm, domain: Domain, world: World):
-        """Target refresh (10k-sample phi_k reduction) + batched solve in one
-        trace — the reference's FULL per-tick work (SURVEY.md section 4.2
-        step 1 + steps 2-7). This is the benchmarked 'solve'."""
-        phik = self._phik_from_gmm_fn(gmm, domain)
+        """Target refresh (10k-sample phi_k reduction, free-space masked) +
+        batched solve in one trace — the reference's FULL per-tick work
+        (SURVEY.md section 4.2 step 1 + steps 2-7). This is the benchmarked
+        'solve'."""
+        phik = self._phik_from_gmm_fn(gmm, domain, world.free_mask)
         return self._replan_fn(sc, phik, world)
 
     def replan_refresh(self, sc: Scenarios, gmm, domain: Domain, world: World):

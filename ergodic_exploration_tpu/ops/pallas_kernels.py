@@ -35,8 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 _CHUNK = 1024  # sample points per grid step
 
 
-def _phik_gmm_kernel(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
-                     out_r, acc_r, tot_r):
+def _phik_gmm_body(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
+                   out_r, acc_r, tot_r, mask_r=None):
     """One (scenario-tile, sample-chunk) block.
 
     mx/my: (J, TS) component means; ia/ib/ic: (J, TS) inverse-covariance
@@ -44,6 +44,9 @@ def _phik_gmm_kernel(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
     pts: (2, CHUNK); d: (CHUNK, K2); out: (TS, K2); acc/tot are VMEM scratch
     persisting across the (innermost) chunk axis. The sample axis is padded
     to a _CHUNK multiple with far-away points whose density underflows to 0.
+    mask_r (optional): (TS, CHUNK) free-space weights multiplied into phi
+    BEFORE the normalizer accumulates — reference semantics "GMM phi
+    normalized over free space" (SURVEY.md section 3 target row / A.3).
     """
     J, TS = mx_r.shape
     j = pl.program_id(1)
@@ -64,6 +67,8 @@ def _phik_gmm_kernel(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
              + 2.0 * ib_r[c, :][:, None] * dx * dy
              + ic_r[c, :][:, None] * dy * dy)
         phi = phi + nr_r[c, :][:, None] * jnp.exp(-0.5 * q)
+    if mask_r is not None:
+        phi = phi * mask_r[:, :]
     tot_r[:, :] += jnp.sum(phi, axis=1, keepdims=True)
     acc_r[:, :] += jnp.dot(
         phi, d_r[:, :],
@@ -76,8 +81,20 @@ def _phik_gmm_kernel(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
         out_r[:, :] = acc_r[:, :] / jnp.maximum(tot_r[:, :], 1e-12)
 
 
+def _phik_gmm_kernel(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
+                     out_r, acc_r, tot_r):
+    _phik_gmm_body(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
+                   out_r, acc_r, tot_r)
+
+
+def _phik_gmm_masked_kernel(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
+                            mask_r, out_r, acc_r, tot_r):
+    _phik_gmm_body(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
+                   out_r, acc_r, tot_r, mask_r=mask_r)
+
+
 def phik_from_gmm_pallas(means, covs, weights, pts, D, tile: int | None = None,
-                         interpret=None):
+                         interpret=None, free_mask=None):
     """Fused batched GMM target coefficients: (S, K^2), normalized.
 
     Args:
@@ -86,6 +103,9 @@ def phik_from_gmm_pallas(means, covs, weights, pts, D, tile: int | None = None,
         tile: scenarios per program (must divide S; default: largest of
             128/64/32/16/8 that divides S — measured flat 2.0-2.2 ms across
             128..512 at S=4096, and small tiles only hurt).
+        free_mask: optional (S, N) free-space weights (1 = free, 0 =
+            occupied); phi is masked BEFORE normalization (reference:
+            "normalized over free space", SURVEY.md A.3).
     """
     S, J, _ = means.shape
     N, K2 = D.shape
@@ -100,6 +120,9 @@ def phik_from_gmm_pallas(means, covs, weights, pts, D, tile: int | None = None,
     if pad:
         pts = jnp.concatenate([pts, jnp.full((pad, 2), 1.0e6, pts.dtype)])
         D = jnp.concatenate([D, jnp.zeros((pad, K2), D.dtype)])
+        if free_mask is not None:
+            free_mask = jnp.concatenate(
+                [free_mask, jnp.zeros((S, pad), free_mask.dtype)], axis=1)
         N += pad
     n_chunks = N // _CHUNK
 
@@ -120,13 +143,23 @@ def phik_from_gmm_pallas(means, covs, weights, pts, D, tile: int | None = None,
         interpret = jax.default_backend() != "tpu"
     grid = (S // tile, n_chunks)
     param_spec = pl.BlockSpec((J, tile), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    in_specs = [param_spec] * 6 + [
+        pl.BlockSpec((2, _CHUNK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_CHUNK, K2), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [mx, my, ia, ib, ic, nr, ptsT, D]
+    kernel = _phik_gmm_kernel
+    mask_bytes = 0
+    if free_mask is not None:
+        kernel = _phik_gmm_masked_kernel
+        in_specs.append(
+            pl.BlockSpec((tile, _CHUNK), lambda i, j: (i, j), memory_space=pltpu.VMEM))
+        operands.append(free_mask.astype(jnp.float32))
+        mask_bytes = S * N * 4
     return pl.pallas_call(
-        _phik_gmm_kernel,
+        kernel,
         grid=grid,
-        in_specs=[param_spec] * 6 + [
-            pl.BlockSpec((2, _CHUNK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, K2), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile, K2), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, K2), jnp.float32),
         scratch_shapes=[
@@ -138,8 +171,8 @@ def phik_from_gmm_pallas(means, covs, weights, pts, D, tile: int | None = None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * S * N * (K2 + 8 * J),
-            bytes_accessed=(S // tile) * N * (K2 + 2) * 4 + S * K2 * 4,
+            bytes_accessed=(S // tile) * N * (K2 + 2) * 4 + S * K2 * 4 + mask_bytes,
             transcendentals=S * N * J,
         ),
         interpret=interpret,
-    )(mx, my, ia, ib, ic, nr, ptsT, D)
+    )(*operands)

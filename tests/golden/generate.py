@@ -72,8 +72,9 @@ def scenarios():
     def cfg3():  # cart + barrier collision avoidance vs occupancy obstacles
         eng = Engine(default_config("cart"))
         world = eng.prepare_world(obstacle_grids())
+        # phi normalized over FREE space (reference target.hpp semantics)
         out = eng.explore(
-            eng.init_scenarios(x0), eng.phik_from_gmm(gmm_of(1), DOM), world, 12
+            eng.init_scenarios(x0), eng.phik_from_gmm(gmm_of(1), DOM, world), world, 12
         )
         return {"controls": out.controls, "trajectory": out.trajectory}
 
@@ -107,9 +108,10 @@ def scenarios():
             origin=jnp.zeros((S, 2), jnp.float32),
             resolution=jnp.full((S,), 0.05, jnp.float32),
         )
+        world = eng.prepare_world(grids)
         out = eng.explore(
-            eng.init_scenarios(x0), eng.phik_from_gmm(gmm_of(2), DOM),
-            eng.prepare_world(grids), 12,
+            eng.init_scenarios(x0), eng.phik_from_gmm(gmm_of(2), DOM, world),
+            world, 12,
         )
         return {"controls": out.controls, "trajectory": out.trajectory}
 

