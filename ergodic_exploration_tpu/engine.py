@@ -133,11 +133,58 @@ class Engine:
         return NamedSharding(self.mesh, spec)
 
     def shard_scenarios(self, tree):
-        """Lay a batched pytree out over the mesh's scenario axis."""
+        """Lay a batched pytree out over the mesh's scenario axis.
+
+        Leaves are GLOBAL-shaped. Single-process: one ``device_put`` per
+        leaf. Multi-process (``jax.distributed``): every process passes the
+        same global value, and only this process's scenario slice is fed to
+        its devices via ``jax.make_array_from_process_local_data`` — no
+        host-side materialization of remote shards (SURVEY.md section 3
+        "multi-host launcher": per-host data feeding). Leaves that are
+        already global (non-fully-addressable) jax.Arrays — outputs of the
+        engine's own sharded steps — pass through untouched.
+        """
         if self.mesh is None:
             return tree
         sh = self._sharding(P(self.SCENARIO_AXIS))
+        if jax.process_count() > 1:
+            import numpy as np
+
+            from ergodic_exploration_tpu.parallel import process_scenario_slice
+
+            def one(a):
+                if isinstance(a, jax.Array) and not a.is_fully_addressable:
+                    return a  # already laid out by a sharded computation
+                a = np.asarray(a)
+                start, stop = process_scenario_slice(a.shape[0])
+                return jax.make_array_from_process_local_data(sh, a[start:stop], a.shape)
+
+            return jax.tree.map(one, tree)
         return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+    def shard_scenarios_from_local(self, tree):
+        """Form global scenario-sharded arrays from THIS PROCESS's slice.
+
+        The production multi-host feeding path: each host materializes only
+        its ``parallel.process_scenario_slice`` of the batch (leaves shaped
+        (S/process_count, ...)) and the global array is assembled without
+        any cross-host transfer of scenario data. Single-process (or no
+        mesh), the local slice IS the batch and this equals
+        :meth:`shard_scenarios`.
+        """
+        if self.mesh is None or jax.process_count() == 1:
+            return self.shard_scenarios(tree)
+        import numpy as np
+
+        sh = self._sharding(P(self.SCENARIO_AXIS))
+        n = jax.process_count()
+
+        def one(a):
+            a = np.asarray(a)
+            global_shape = (a.shape[0] * n,) + a.shape[1:]
+            return jax.make_array_from_process_local_data(sh, a, global_shape)
+
+        return jax.tree.map(one, tree)
 
     def _shard_jit(self, fn, static_argnums=(), donate=()):
         if self.mesh is None:
@@ -158,14 +205,24 @@ class Engine:
     # ------------------------------------------------------------------
 
     def init_scenarios(self, x0, vb0=None, rng=None) -> Scenarios:
-        """Batched initial state for poses ``x0`` (S, 3)."""
+        """Batched initial state for poses ``x0`` (S, 3 — the GLOBAL batch;
+        every process passes the same value under ``jax.distributed``, and
+        each host only computes + feeds its own scenario slice)."""
         x0 = jnp.asarray(x0, dtype=jnp.float32)
         S = x0.shape[0]
         if vb0 is None:
             vb0 = jnp.zeros((S, 3), dtype=jnp.float32)
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        keys = jax.random.split(rng, S)
+        keys = jax.random.split(rng, S)  # process-independent
+        if self.mesh is not None and jax.process_count() > 1:
+            from ergodic_exploration_tpu.parallel import process_scenario_slice
+
+            lo, hi = process_scenario_slice(S)
+            state = jax.vmap(lambda k: self.controller.init_state(k))(keys[lo:hi])
+            return self.shard_scenarios_from_local(
+                Scenarios(state=state, x=x0[lo:hi], vb=vb0[lo:hi])
+            )
         state = jax.vmap(lambda k: self.controller.init_state(k))(keys)
         return self.shard_scenarios(Scenarios(state=state, x=x0, vb=vb0))
 

@@ -103,6 +103,12 @@ def load_pytree(path: str, like):
             leaves = [data[f"leaf_{i:04d}"] for i in range(len(tmpl_keys))]
         leaves = [np.asarray(a) for a in leaves]
 
+    def _dtype(t):
+        # never materialize the template (it may be a non-addressable global
+        # array under jax.distributed) — read metadata only
+        dt = getattr(t, "dtype", None)
+        return np.dtype(dt) if dt is not None else np.asarray(t).dtype
+
     for key, got, tmpl in zip(tmpl_keys, leaves, tmpl_leaves):
         want_shape = tuple(np.shape(tmpl))
         if got.shape != want_shape:
@@ -110,5 +116,5 @@ def load_pytree(path: str, like):
                 f"checkpoint leaf {key!r} has shape {got.shape} but template "
                 f"expects {want_shape}"
             )
-    cast = [np.asarray(a, dtype=np.asarray(t).dtype) for a, t in zip(leaves, tmpl_leaves)]
+    cast = [np.asarray(a, dtype=_dtype(t)) for a, t in zip(leaves, tmpl_leaves)]
     return jax.tree.unflatten(treedef, cast)
