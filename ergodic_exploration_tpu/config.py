@@ -57,6 +57,11 @@ class DwaConfig:
     vel_lim: Tuple[float, float, float] = (0.3, 0.3, 1.0)  # |vx|,|vy|,|omega| caps
     horizon: int = 10  # rollout steps per candidate
     dt: float = 0.1
+    # Candidate-selection metric: "control" = ||u_cand - u_ergodic||^2 in
+    # CONTROL (wheel-velocity) space — the reference's cost (SURVEY.md A.6);
+    # "twist" = distance in realized body-twist space (weights (v, omega)
+    # by different wheel-map gains, so the argmin candidate can differ).
+    cost_space: str = "control"
 
 
 @dataclass(frozen=True)
@@ -161,6 +166,8 @@ class EngineConfig:
             )
         if self.history not in ("ring", "accumulate"):
             raise ValueError(f"unknown history mode {self.history!r}")
+        if self.dwa.cost_space not in ("control", "twist"):
+            raise ValueError(f"unknown dwa cost_space {self.dwa.cost_space!r}")
         if self.horizon < 1 or self.num_basis < 1:
             raise ValueError("horizon and num_basis must be >= 1")
         return self
@@ -268,6 +275,8 @@ def load_yaml_config(path_or_dict) -> EngineConfig:
         dwa_kw["horizon"] = int(raw.pop("dwa_horizon"))
     if "dwa_dt" in raw:
         dwa_kw["dt"] = float(raw.pop("dwa_dt"))
+    if "dwa_cost_space" in raw:
+        dwa_kw["cost_space"] = str(raw.pop("dwa_cost_space"))
     if dwa_kw:
         updates["dwa"] = dataclasses.replace(cfg.dwa, **dwa_kw)
 

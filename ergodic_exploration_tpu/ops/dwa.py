@@ -81,8 +81,13 @@ def dwa_control(model, x, vb, u_ref, domain, dist_field, cfg):
     codes = jax.vmap(
         lambda P: check_trajectory(P, domain, dist_field, cfg.boundary_radius, cfg.d_safe)
     )(X[..., :2])  # (C,)
-    tw_ref = model.twist(u_ref)
-    cost = jnp.sum((tws_real - tw_ref[None, :]) ** 2, axis=-1)
+    if cfg.dwa.cost_space == "control":
+        # reference cost (SURVEY.md A.6): ||u_cand - u_ergodic||^2 in
+        # wheel-velocity space
+        cost = jnp.sum((us - u_ref[None, :]) ** 2, axis=-1)
+    else:  # "twist": distance between realized body twists
+        tw_ref = model.twist(u_ref)
+        cost = jnp.sum((tws_real - tw_ref[None, :]) ** 2, axis=-1)
     cost = jnp.where(codes >= CRASH, INFEASIBLE_COST, cost)
     best = jnp.argmin(cost)
     feasible = cost[best] < INFEASIBLE_COST

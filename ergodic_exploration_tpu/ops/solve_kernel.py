@@ -471,6 +471,7 @@ class SafetyParams:
     my: Tuple[float, ...]
     mw: Tuple[float, ...]
     finv: Tuple[Tuple[float, float, float], ...]  # (nu, 3): u = finv @ twist
+    cost_space: str = "control"  # "control" (reference A.6) | "twist"
 
 
 def _model_finv(model):
@@ -504,7 +505,7 @@ def safety_params_from_config(cfg, crop_cells: int) -> SafetyParams:
         dwa_dt=cfg.dwa.dt, dwa_horizon=cfg.dwa.horizon,
         samples=tuple(cfg.dwa.samples), acc_lim=tuple(cfg.dwa.acc_lim),
         vel_lim=tuple(cfg.dwa.vel_lim), mx=mx, my=my, mw=mw,
-        finv=_model_finv(model),
+        finv=_model_finv(model), cost_space=cfg.dwa.cost_space,
     )
 
 
@@ -609,7 +610,15 @@ def _make_safety_kernel(sp: SafetyParams):
                       & (py >= do_r[1, :][None, :]) & (py <= (do_r[1, :] + Ly)[None, :]))
             crash = crash | (~inside) | (clearance - sp.b_radius <= 0.0)
 
-        cost = (rvx - vx0[None, :]) ** 2 + (rvy - vy0[None, :]) ** 2 + (rw - w0[None, :]) ** 2
+        if sp.cost_space == "control":
+            # reference cost (SURVEY.md A.6): ||u_cand - u0||^2 in wheel space
+            cost = jnp.zeros_like(rvx)
+            for i in range(nu):
+                du = u_c[i] - u0[i][None, :]
+                cost = cost + du * du
+        else:  # "twist"
+            cost = ((rvx - vx0[None, :]) ** 2 + (rvy - vy0[None, :]) ** 2
+                    + (rw - w0[None, :]) ** 2)
         cost = jnp.where(crash, _INFEASIBLE, cost)  # (C, T)
         best_cost = jnp.min(cost, axis=0)  # (T,)
         # first-argmin pick (jnp.argmin parity): earliest candidate achieving

@@ -178,3 +178,47 @@ def test_safety_subpatch_is_exact():
     np.testing.assert_array_equal(outs[16][0], outs[48][0])
     assert outs[16][1] == outs[48][1]
     assert outs[16][2] == outs[48][2]
+
+
+def test_cost_space_control_vs_twist_pick_different_candidates():
+    """VERDICT r1 item 5: reference cost is ||u_cand - u_ergodic||^2 in
+    CONTROL space (SURVEY.md A.6). For the cart the wheel map weights
+    (v, omega) differently (control cost ~ dv^2 + (b/2)^2 dw^2), so with the
+    straight-ahead corner candidate blocked by an obstacle, twist-space
+    prefers rotating in place while control-space prefers driving straight.
+    """
+    import dataclasses
+
+    # obstacle block front-left of the robot at (0.8, 0.8, 0): the
+    # best-in-both-spaces corner candidate (vx=0.5, w=0.6) arcs into it
+    raw = np.zeros((40, 40), dtype=np.int8)
+    raw[19:21, 24:26] = 100  # y in [0.95, 1.05], x in [1.2, 1.3]
+    g = GridMap.from_ros(raw, 0.0, 0.0, 0.05)
+    dom, f = g.domain(), DistanceField.from_grid(g)
+
+    base = default_config("cart").replace(
+        boundary_radius=0.1, d_safe=0.15,
+        dwa=dataclasses.replace(
+            default_config("cart").dwa,
+            samples=(3, 1, 3), acc_lim=(5.0, 5.0, 6.0), vel_lim=(0.5, 0.5, 0.6),
+            horizon=10, dt=0.1,
+        ),
+    )
+    model = make_model(base)
+    x = jnp.array([0.8, 0.8, 0.0])
+    vb = jnp.zeros(3)
+    u_ref = model.from_twist(jnp.array([1.0, 0.0, 1.2]))  # outside the window
+
+    def run(space):
+        cfg = base.replace(dwa=dataclasses.replace(base.dwa, cost_space=space))
+        u, feas = dwa_control(model, x, vb, u_ref, dom, f, cfg)
+        assert bool(feas)
+        return np.asarray(model.twist(u))
+
+    tw_control = run("control")
+    tw_twist = run("twist")
+    # twist-space: rotate in place toward the reference heading rate
+    assert abs(tw_twist[0]) < 1e-5 and abs(tw_twist[2] - 0.6) < 1e-5
+    # control-space (reference): drive straight at the window's max speed
+    assert abs(tw_control[0] - 0.5) < 1e-5 and abs(tw_control[2]) < 1e-5
+    assert not np.allclose(tw_control, tw_twist)
