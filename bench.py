@@ -96,9 +96,11 @@ def bench_throughput(S=4096, iters=50):
     return S * iters / dt
 
 
-def bench_latency(n=32):
+def bench_latency(n=32, reps=12):
     """Per-replan device latency for a single scenario: chain-difference
-    (t(2n) - t(n)) / n cancels the fixed tunnel round trip."""
+    (t(2n) - t(n)) / n cancels the fixed tunnel round trip. Reports the
+    sample spread (p50/p99/min/max over ``reps`` repetitions), not just a
+    point estimate — run-to-run spread on this attachment is real."""
     import jax
 
     engine, sc, gmm, domain, world = build_case(1)
@@ -108,11 +110,18 @@ def bench_latency(n=32):
     float(out[1].sum())
 
     samples = []
-    for _ in range(5):
+    for _ in range(reps):
         t1, _ = _run_chain(step, sc, gmm, domain, world, n)
         t2, _ = _run_chain(step, sc, gmm, domain, world, 2 * n)
         samples.append((t2 - t1) / n)
-    return float(np.median(samples) * 1e3)
+    s = np.asarray(samples) * 1e3
+    return {
+        "p50": float(np.median(s)),
+        "p99": float(np.percentile(s, 99)),
+        "min": float(s.min()),
+        "max": float(s.max()),
+        "reps": int(reps),
+    }
 
 
 def _run():
@@ -120,14 +129,17 @@ def _run():
 
     dev = jax.devices()[0]
     solves_per_s = bench_throughput()
-    p50_ms = bench_latency()
+    lat = bench_latency()
     target_per_chip = 4096.0 / 16.0  # BASELINE: 4096 solves/s on v5e-16
     return {
         "metric": "ergodic_mpc_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
         "unit": "solves/s/chip (H=20, 10k grid samples, obstacles+DWA)",
         "vs_baseline": round(solves_per_s / target_per_chip, 2),
-        "p50_replan_latency_ms": round(p50_ms, 3),
+        "p50_replan_latency_ms": round(lat["p50"], 3),
+        "p99_replan_latency_ms": round(lat["p99"], 3),
+        "latency_spread_ms": [round(lat["min"], 3), round(lat["max"], 3)],
+        "latency_reps": lat["reps"],
         "latency_budget_ms": 100.0,
         "batch": 4096,
         "device": str(dev.platform),

@@ -123,12 +123,20 @@ def test_engine_with_obstacles_and_safety():
     phik = _phik(engine, S)
 
     out = engine.explore(sc, phik, world, 50)
-    P = np.asarray(out.trajectory[..., :2]).reshape(-1, 2)
-    # robot never enters the wall band (y in [0.9, 1.1]) deeper than its radius
-    dists = []
+    # footprint clearance: EDT distance at every visited pose must exceed
+    # the robot radius — strictly, no 10% penetration budget
     d = np.asarray(jax.vmap(lambda w, p: w.dist.query(p)[0], in_axes=(0, 1))(
         world, out.trajectory[..., :2]))
-    assert d.min() > cfg.boundary_radius * 0.9
+    assert d.min() > cfg.boundary_radius, f"min clearance {d.min():.3f}"
+    # wall-band exclusion: the wall occupies y in [0.9, 1.1], x in [0.5, 1.5];
+    # no pose center may come within boundary_radius of that rectangle
+    P = np.asarray(out.trajectory[..., :2]).reshape(-1, 2)
+    dx = np.maximum(np.maximum(0.5 - P[:, 0], P[:, 0] - 1.5), 0.0)
+    dy = np.maximum(np.maximum(0.9 - P[:, 1], P[:, 1] - 1.1), 0.0)
+    rect_dist = np.hypot(dx, dy)
+    assert rect_dist.min() > cfg.boundary_radius, (
+        f"pose within {rect_dist.min():.3f} m of the wall band"
+    )
 
 
 def test_phik_from_grid_mi_target():

@@ -17,6 +17,10 @@ from ergodic_exploration_tpu.engine import Engine
 from ergodic_exploration_tpu.grid import Domain, GridMap
 from ergodic_exploration_tpu.ops import target as target_ops
 
+# interpret-mode Pallas dominates CPU suite wall time; iterate fast with
+# `pytest -m 'not fused'`, run the full suite before committing
+pytestmark = pytest.mark.fused
+
 
 def _case(model: str, S: int = 8, seed: int = 3):
     cfg = default_config(model).replace(num_basis=6, buffer_capacity=64)
