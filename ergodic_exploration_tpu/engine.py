@@ -249,6 +249,9 @@ class Engine:
         ``grids`` leaves carry a leading (S, ...) axis. The domain is each
         map's extent (``domain`` arg kept for backward compatibility;
         ignored when None)."""
+        # normalize to strong float32: a weak-typed leaf (e.g. from a bare
+        # jnp.full) would otherwise silently retrace every jitted consumer
+        grids = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), grids)
         if domain is not None:
             return self.shard_scenarios(
                 jax.jit(jax.vmap(lambda g: self._world_one(g, domain)))(grids)
@@ -478,6 +481,75 @@ class Engine:
         return self.shard_scenarios(f(grids))
 
     # ------------------------------------------------------------------
+    # startup (SURVEY.md section 4.1: compilation is the startup cost)
+    # ------------------------------------------------------------------
+
+    def warmup(self, S: int, domain: Domain, map_shape=None,
+               gmm_components: int = 1, n_ticks=(), persistent_cache=None) -> dict:
+        """Deliberately compile the hot entry points with dummy data so the
+        first real tick never stalls (AOT warm-up; the reference's analog is
+        doing all construction in the node ctor, SURVEY.md section 4.1).
+
+        Compiles: the batched replan, the full refresh+replan tick, phi_k
+        refresh (GMM + MI when ``map_shape`` is given), world preparation,
+        and ``explore`` for each length in ``n_ticks``. With
+        ``persistent_cache`` (a directory path or True for the default),
+        compiled executables survive process restarts.
+
+        Returns {stage: seconds} so callers can log the startup budget.
+        """
+        import time as _time
+
+        import numpy as np
+
+        if persistent_cache:
+            from ergodic_exploration_tpu.utils.compile_cache import (
+                enable_persistent_cache,
+            )
+
+            enable_persistent_cache(
+                None if persistent_cache is True else persistent_cache
+            )
+
+        timings = {}
+
+        def timed(name, fn):
+            t0 = _time.perf_counter()
+            out = fn()
+            jax.block_until_ready(out)
+            timings[name] = round(_time.perf_counter() - t0, 3)
+            return out
+
+        J = gmm_components
+        gmm = target_ops.GaussianMixture.create(
+            means=np.full((S, J, 2), 0.5, np.float32),
+            covs=np.tile(np.eye(2, dtype=np.float32)[None, None], (S, J, 1, 1)),
+            weights=np.ones((S, J), np.float32),
+        )
+        sc = timed("init_scenarios", lambda: self.init_scenarios(
+            np.zeros((S, 3), np.float32)))
+        if map_shape is not None:
+            res = float(domain.lengths[0]) / map_shape[1]
+            grids = GridMap(
+                data=jnp.zeros((S,) + tuple(map_shape), jnp.float32),
+                origin=jnp.broadcast_to(domain.origin, (S, 2)),
+                resolution=jnp.full((S,), res, jnp.float32),
+            )
+            world = timed("prepare_world", lambda: self.prepare_world(grids))
+            timed("phik_from_grid", lambda: self.phik_from_grid(grids))
+        else:
+            world = self.empty_world(domain, S)
+        phik = timed("phik_from_gmm", lambda: self.phik_from_gmm(
+            gmm, domain, world.free_mask))
+        timed("replan", lambda: self.replan(_copy_tree(sc), phik, world)[1])
+        timed("replan_refresh", lambda: self.replan_refresh(
+            _copy_tree(sc), gmm, domain, world)[1])
+        for n in n_ticks:
+            timed(f"explore_{n}", lambda n=n: self.explore(
+                _copy_tree(sc), phik, world, n).controls)
+        return timings
+
+    # ------------------------------------------------------------------
     # checkpoint / resume (SURVEY.md section 6)
     # ------------------------------------------------------------------
 
@@ -588,6 +660,11 @@ class Engine:
             sc = out.scenarios
             coverage.append(sensor.fraction_known(belief))
         return out, belief, jnp.stack(coverage)
+
+
+def _copy_tree(tree):
+    """Fresh buffers for donation-safe warm-up calls."""
+    return jax.tree.map(jnp.copy, tree)
 
 
 def make_scenario_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:

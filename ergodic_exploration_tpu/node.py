@@ -54,7 +54,26 @@ class ExplorationNode:
         self.use_native = use_native and native.available()
 
         self.state = self.controller.init_state()
-        self._step = jax.jit(self.controller.step)
+        if self.config.use_fused_solve:
+            # run the single robot through the fused Pallas descent core
+            # (S=1 batch; same semantics as ErgodicController.step, pinned
+            # by tests/test_solve_kernel.py) so the real-time 10 Hz loop
+            # gets the fast path on TPU too.
+            from ergodic_exploration_tpu.ops.solve_kernel import replan_batched_fused
+
+            def _step_fused(state, x, vb, phik, world):
+                batch = lambda a: jnp.asarray(a)[None, ...]
+                st2, u, diag = replan_batched_fused(
+                    self.config, self.model,
+                    jax.tree.map(batch, state), batch(x), batch(vb),
+                    batch(phik), jax.tree.map(batch, world),
+                )
+                unbatch = lambda a: a[0]
+                return jax.tree.map(unbatch, st2), u[0], jax.tree.map(unbatch, diag)
+
+            self._step = jax.jit(_step_fused)
+        else:
+            self._step = jax.jit(self.controller.step)
         self._grid: Optional[GridMap] = None
         self._world: Optional[World] = None
         self._phik = None

@@ -398,3 +398,39 @@ def test_ergodicity_visit_statistics_match_target():
     # and the ergodic metric collapsed
     e = np.asarray(out.diag.ergodic_metric)
     assert e[-1].mean() < 0.25 * e[0].mean()
+
+
+def test_warmup_compiles_hot_paths_and_first_tick_is_fast(tmp_path):
+    """AOT warm-up story (SURVEY.md 4.1/8 P4): warmup() compiles every hot
+    entry point; the first real tick after it triggers no new compilation."""
+    import time
+
+    cfg = _cfg()
+    engine = Engine(cfg)
+    S = 4
+    timings = engine.warmup(S, DOM, map_shape=(20, 20), gmm_components=1,
+                            n_ticks=(3,), persistent_cache=str(tmp_path / "xla"))
+    for stage in ("init_scenarios", "prepare_world", "phik_from_grid",
+                  "phik_from_gmm", "replan", "replan_refresh", "explore_3"):
+        assert stage in timings and timings[stage] >= 0.0
+
+    # real tick with matching shapes AND world signature (masked world, like
+    # warmup's map_shape path): no recompile -> far below the compile time
+    n_traces = engine._replan_refresh_jit._cache_size()
+    sc = engine.init_scenarios(np.zeros((S, 3), np.float32))
+    gmm = target.GaussianMixture.create(
+        means=np.full((S, 1, 2), 0.5, np.float32),
+        covs=np.tile(np.eye(2, dtype=np.float32)[None, None], (S, 1, 1, 1)),
+        weights=np.ones((S, 1), np.float32),
+    )
+    grids = GridMap(jnp.zeros((S, 20, 20)), jnp.broadcast_to(DOM.origin, (S, 2)),
+                    jnp.full((S,), float(DOM.lengths[0]) / 20))
+    world = engine.prepare_world(grids)
+    t0 = time.perf_counter()
+    _, u, _ = engine.replan_refresh(sc, gmm, DOM, world)
+    np.asarray(u)
+    dt = time.perf_counter() - t0
+    assert engine._replan_refresh_jit._cache_size() == n_traces, "retraced"
+    assert dt < max(0.5, 0.5 * timings["replan_refresh"]), (
+        f"first real tick took {dt:.2f}s after warmup ({timings})"
+    )
