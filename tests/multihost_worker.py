@@ -11,7 +11,12 @@ against a single-process run.
 Usage: python multihost_worker.py <process_id> <num_processes> <port> <out_dir>
 """
 
+import os
 import sys
+
+# the worker runs as a bare subprocess (no pytest conftest, no editable
+# install guaranteed) — put the repo root on sys.path ourselves
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
