@@ -352,7 +352,7 @@ class Engine:
         """
         from functools import partial
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from ergodic_exploration_tpu.ops import basis
 
@@ -410,7 +410,7 @@ class Engine:
         coefficient reductions combine with ``psum``."""
         from functools import partial
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from ergodic_exploration_tpu.ops import basis
 

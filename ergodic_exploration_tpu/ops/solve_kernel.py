@@ -48,6 +48,7 @@ class SolveParams:
     K: int
     nu: int
     P: int  # patch cells
+    nb: int  # sampled-history batch folded into the kernel (0 = precomputed)
     dt: float
     gamma: float  # ergodic weight
     beta: float  # barrier weight
@@ -89,7 +90,7 @@ def params_from_config(cfg) -> SolveParams:
 
     mx, my, mw = model_rows(make_model(cfg))
     return SolveParams(
-        H=cfg.horizon, K=cfg.num_basis, nu=cfg.nu, P=cfg.patch_cells,
+        H=cfg.horizon, K=cfg.num_basis, nu=cfg.nu, P=cfg.patch_cells, nb=0,
         dt=cfg.dt, gamma=cfg.ergodic_weight, beta=cfg.barrier_weight,
         b_eps=cfg.barrier_eps, b_weight=cfg.barrier_boundary_weight,
         o_weight=cfg.barrier_obstacle_weight, b_radius=cfg.boundary_radius,
@@ -106,11 +107,11 @@ def _wrap(th):
 
 
 def _make_kernel(sp: SolveParams):
-    H, K, nu, P = sp.H, sp.K, sp.nu, sp.P
+    H, K, nu, P, nb = sp.H, sp.K, sp.nu, sp.P, sp.nb
     dt = float(sp.dt)
 
     def kernel(x_r, u_r, hist_r, nh_r, phik_r, pd_r, pgx_r, pgy_r,
-               ps_r, po_r, pr_r, do_r, dl_r, un_r, met_r, bc_r):
+               ps_r, po_r, pr_r, do_r, dl_r, cks_r, un_r, met_r, bc_r, cko_r):
         T = x_r.shape[-1]
         # basis constants built in-kernel from iota (pallas kernels cannot
         # capture array constants): Sobolev weights Lambda_k and the
@@ -171,7 +172,24 @@ def _make_kernel(sp: SolveParams):
         # ---- 3. c_k over [history || rollout] (basis.coefficients) ----
         roll = jnp.sum(Cx[:, :, None, :] * Cy[:, None, :, :], axis=0) / hk
         M = nh_r[0, :] + float(H)  # (T,)
-        ck = (hist_r[:, :].reshape(K, K, T) + roll) / M[None, None, :]
+        if nb:
+            # in-kernel history reduction over the COMPACTED sampled batch
+            # (controller.step step 2, ring+batch branch): cos tables of the
+            # nb sampled positions + the (K, K) outer-product accumulation,
+            # all VPU work on (nb, K, T) tiles — replaces the vmapped XLA
+            # stage whose per-scenario (nb, K) matmuls were dispatch-bound.
+            bx = hist_r[0, :, :] - do_r[0, :][None, :]  # (nb, T)
+            by = hist_r[1, :, :] - do_r[1, :][None, :]
+            Hx = jnp.cos(bx[:, None, :] * f1[None, :, :])  # (nb, K, T)
+            Hy = jnp.cos(by[:, None, :] * f2[None, :, :])
+            hsum = jnp.concatenate(
+                [jnp.sum(Hx[:, k1:k1 + 1, :] * Hy, axis=0) for k1 in range(K)]
+            ).reshape(K, K, T)
+            wv = (nh_r[0, :] > 0.0).astype(jnp.float32)  # empty-buffer guard
+            hist_kk = hsum * wv[None, None, :] / hk
+        else:
+            hist_kk = hist_r[:, :].reshape(K, K, T)
+        ck = (hist_kk + roll) / M[None, None, :]
         dkk = ck - phik_r[:, :].reshape(K, K, T)
         met_r[0, :] = jnp.sum(lam_c * dkk * dkk, axis=(0, 1))
 
@@ -266,17 +284,32 @@ def _make_kernel(sp: SolveParams):
             u_new[t] = jnp.stack(cols)  # (nu, T)
         un_r[:, :, :] = jnp.stack(u_new)  # (H, nu, T)
 
+        # ---- 7. running basis-sum append (controller.step step 9): the
+        # accumulate-mode ck_sum gains F_k at the CURRENT pose — folded here
+        # so no separate vmapped XLA stage touches (S, K, K) per tick ----
+        cnx = jnp.cos((x_r[0, :] - do_r[0, :])[None, :] * f1)  # (K, T)
+        cny = jnp.cos((x_r[1, :] - do_r[1, :])[None, :] * f2)
+        cko_r[:, :] = cks_r[:, :] + (
+            cnx[:, None, :] * cny[None, :, :] / hk
+        ).reshape(K * K, T)
+
     return kernel
 
 
 def fused_solve(sp: SolveParams, x, U, hist, nh, phik, pd, pgx, pgy,
-                pstart, porigin, pres, dorigin, dlen,
+                pstart, porigin, pres, dorigin, dlen, cks,
                 tile: int = 128, interpret=None):
     """Run the fused descent step. All operands are TRANSPOSED (scenario
-    last): x (3,S), U (H,nu,S), hist/phik (K^2,S), nh/pres (1,S),
+    last): x (3,S), U (H,nu,S), phik/cks (K^2,S), nh/pres (1,S),
     pd/pgx/pgy (P,P,S), pstart/porigin/dorigin/dlen (2,S).
 
-    Returns (U_new (H,nu,S), metric (1,S), barrier_mean (1,S)).
+    ``hist`` is (K^2, S) precomputed history-coefficient sums when
+    ``sp.nb == 0``, or the (2, nb, S) compacted sampled positions when
+    ``sp.nb > 0`` (the cos tables + outer-product reduction then run
+    in-kernel). ``cks`` is the running basis sum, appended in-kernel.
+
+    Returns (U_new (H,nu,S), metric (1,S), barrier_mean (1,S),
+    ck_sum_new (K^2,S)).
     """
     S = x.shape[-1]
     while S % tile != 0:
@@ -293,26 +326,28 @@ def fused_solve(sp: SolveParams, x, U, hist, nh, phik, pd, pgx, pgy,
                             (lambda i, _nd=nd: (0,) * _nd + (i,)),
                             memory_space=pltpu.VMEM)
 
+    hist_spec = spec(2, sp.nb) if sp.nb else spec(K * K)
     return pl.pallas_call(
         _make_kernel(sp),
         grid=(S // tile,),
         in_specs=[
-            spec(3), spec(H, nu), spec(K * K), spec(1), spec(K * K),
+            spec(3), spec(H, nu), hist_spec, spec(1), spec(K * K),
             spec(P, P), spec(P, P), spec(P, P),
-            spec(2), spec(2), spec(1), spec(2), spec(2),
+            spec(2), spec(2), spec(1), spec(2), spec(2), spec(K * K),
         ],
-        out_specs=(spec(H, nu), spec(1), spec(1)),
+        out_specs=(spec(H, nu), spec(1), spec(1), spec(K * K)),
         out_shape=(
             jax.ShapeDtypeStruct((H, nu, S), jnp.float32),
             jax.ShapeDtypeStruct((1, S), jnp.float32),
             jax.ShapeDtypeStruct((1, S), jnp.float32),
+            jax.ShapeDtypeStruct((K * K, S), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(x, U, hist, nh, phik, pd, pgx, pgy, pstart, porigin, pres,
-      dorigin, dlen)
+      dorigin, dlen, cks)
 
 
 def replan_batched_fused(cfg, model, state, x, vb, phik, world):
@@ -340,40 +375,47 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
     )
 
     # history over [buffer || rollout] — same three branches as the
-    # controller (ring+batch / ring full-concat / accumulate)
+    # controller (ring+batch / ring full-concat / accumulate). The common
+    # ring+batch branch only COMPACTS the sampled positions here (one-hot
+    # matmul, ops/buffer.py); their cos tables + (K, K) accumulation run
+    # inside the kernel (sp.nb > 0).
     split = jax.vmap(jax.random.split)(state.rng)  # (S, 2, key)
     rng, sub = split[:, 0], split[:, 1]
 
-    def hist_one(buf, ck_sum, hist_count, sb, dom):
-        hkl = basis.hk_norm(K, dom.lengths)
-        if cfg.history == "ring":
-            if cfg.buffer_batch is not None:
-                s_buf, n_hist = buf.sample_states(cfg.buffer_batch, sb)
-                Cbx, Cby = basis.cos_tables(s_buf, K, dom)
-                w_buf = jnp.full(s_buf.shape[0], jnp.where(n_hist > 0, 1.0, 0.0))
-            else:
+    nb = cfg.buffer_batch if (cfg.history == "ring" and cfg.buffer_batch) else 0
+    if nb:
+        s_buf, n_hist = jax.vmap(lambda b, sb: b.sample_states(nb, sb))(
+            state.buffer, sub
+        )  # (S, nb, 2), (S,)
+        hist_op = jnp.transpose(s_buf, (2, 1, 0))  # (2, nb, S)
+    else:
+
+        def hist_one(buf, ck_sum, hist_count, sb, dom):
+            hkl = basis.hk_norm(K, dom.lengths)
+            if cfg.history == "ring":
                 Cbx, Cby = basis.cos_tables(buf.positions, K, dom)
                 w_buf = buf.sample_mask(None, sb)
                 n_hist = jnp.sum(w_buf)
-            return basis.coefficients_cos(Cbx, Cby, w_buf, hkl), n_hist
-        return ck_sum, hist_count.astype(jnp.float32)
+                return basis.coefficients_cos(Cbx, Cby, w_buf, hkl), n_hist
+            return ck_sum, hist_count.astype(jnp.float32)
 
-    hist_sum, n_hist = jax.vmap(hist_one)(
-        state.buffer, state.ck_sum, state.hist_count, sub, domain
-    )
+        hist_sum, n_hist = jax.vmap(hist_one)(
+            state.buffer, state.ck_sum, state.hist_count, sub, domain
+        )
+        hist_op = hist_sum.reshape(S, K * K).T
 
     # ---- the fused Pallas descent core (transposed operands) ----
     # P must be the ACTUAL patch size: extract_patch clamps cfg.patch_cells
     # to the map extent (tiny FAR fields in obstacle-free worlds).
     sp = dataclasses.replace(
-        params_from_config(cfg), P=patches.dist.shape[-1]
+        params_from_config(cfg), P=patches.dist.shape[-1], nb=nb
     )
     t3 = lambda a: jnp.transpose(a, (1, 2, 0))
-    Unew_t, met, bc = fused_solve(
+    Unew_t, met, bc, cko = fused_solve(
         sp,
         x.T,
         t3(state.U),
-        hist_sum.reshape(S, K * K).T,
+        hist_op,
         n_hist[None, :],
         phik.reshape(S, K * K).T,
         t3(patches.dist),
@@ -384,6 +426,7 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
         patches.resolution[None, :],
         domain.origin.T,
         domain.lengths.T,
+        state.ck_sum.reshape(S, K * K).T,
     )
     U_new = jnp.transpose(Unew_t, (2, 0, 1))  # (S, H, nu)
     u0 = U_new[:, 0]
@@ -416,18 +459,12 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
     U_new = jnp.where(diverged[:, None, None], 0.0, U_new)
     u_cmd = jnp.where(diverged[:, None], 0.0, u_cmd)
 
-    # ---- warm-start shift + history append ----
+    # ---- warm-start shift + history append (ck_sum updated in-kernel) ----
     U_next = jnp.concatenate(
         [U_new[:, 1:], jnp.zeros((S, 1, cfg.nu), dtype=U_new.dtype)], axis=1
     )
     new_buffer = jax.vmap(lambda b, p: b.append(p))(state.buffer, x[:, :2])
-
-    def cksum_one(ck_sum, p, dom):
-        hkl = basis.hk_norm(K, dom.lengths)
-        Cnx, Cny = basis.cos_tables(p[None, :], K, dom)
-        return ck_sum + basis.coefficients_cos(Cnx, Cny, jnp.ones(1, jnp.float32), hkl)
-
-    ck_sum = jax.vmap(cksum_one)(state.ck_sum, x[:, :2], domain)
+    ck_sum = cko.T.reshape(S, K, K)
 
     new_state = ControllerState(
         U=U_next,

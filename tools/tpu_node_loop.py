@@ -13,9 +13,12 @@ with bench/tests).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 
 def run_loop(fused: bool, n_steps: int = 300, map_every: int = 50):

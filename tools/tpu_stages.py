@@ -37,11 +37,12 @@ def main():
     K = cfg.num_basis
     model = engine.controller.model
 
-    def chain(label, fn, args, carry_index=0):
+    def chain(label, fn, args):
+        # every stage fn here returns its own carry (first arg feeds back)
         out = jax.jit(fn)(*args)
         jax.block_until_ready(out)
         f = jax.jit(fn)
-        sec = time_chained(f, args, iters=iters, carry_index=carry_index)
+        sec = time_chained(f, args, iters=iters, carry_index=None)
         log(f"{label:34s} {sec * 1e3:7.3f} ms")
         return sec
 
@@ -53,9 +54,9 @@ def main():
 
     world_nomask = world._replace(free_mask=None)
     results["tick_masked"] = chain("full tick (masked refresh)", tick,
-                                   (sc, gmm, world), 0)
+                                   (sc, gmm, world))
     results["tick_unmasked"] = chain("full tick (unmasked refresh)", tick,
-                                     (sc, gmm, world_nomask), 0)
+                                     (sc, gmm, world_nomask))
 
     # ---- stage: phik refresh ----
     def refresh(g, mask):
@@ -65,11 +66,11 @@ def main():
     results["refresh_masked"] = chain(
         "phik refresh (masked)",
         lambda g, m: (g._replace(weights=g.weights + 0 * refresh(g, m)[:, 0, 0, None]), m)[0],
-        (gmm, world.free_mask), 0)
+        (gmm, world.free_mask))
     results["refresh_unmasked"] = chain(
         "phik refresh (unmasked)",
         lambda g: g._replace(weights=g.weights + 0 * refresh(g, None)[:, 0, 0, None]),
-        (gmm,), 0)
+        (gmm,))
 
     # ---- stage: patch extraction ----
     def patch_stage(x_):
@@ -77,7 +78,7 @@ def main():
             world.dist, x_[:, :2])
         return x_ + 0 * p.dist[:, 0, 0][:, None]
 
-    results["patch"] = chain("patch extraction (32x32)", patch_stage, (sc.x,), 0)
+    results["patch"] = chain("patch extraction (32x32)", patch_stage, (sc.x,))
 
     # ---- stage: history reduction (ring + batch sampling) ----
     def hist_stage(st):
@@ -94,14 +95,23 @@ def main():
         h = jax.vmap(one)(st.buffer, sub, world.domain)
         return st._replace(rng=split[:, 0] + 0 * h[:, 0, 0].astype(jnp.uint32)[:, None])
 
-    results["history"] = chain("history reduction (B=100)", hist_stage, (sc.state,), 0)
+    results["history"] = chain("history reduction (B=100)", hist_stage, (sc.state,))
 
     # ---- stage: buffer append + ck_sum update ----
     def append_stage(st):
         nb = jax.vmap(lambda b, p: b.append(p))(st.buffer, sc.x[:, :2])
         return st._replace(buffer=nb)
 
-    results["append"] = chain("buffer append + cksum", append_stage, (sc.state,), 0)
+    results["append"] = chain("buffer append + cksum", append_stage, (sc.state,))
+
+    # ---- replan without refresh (patch + solve + safety + state update) ----
+    pk4 = jax.jit(engine._phik_from_gmm_fn)(gmm, domain, world.free_mask)
+
+    def replan_only(sc_, pk_, world_):
+        return engine._replan_fn(sc_, pk_, world_)[0]
+
+    results["replan_only"] = chain("replan (no refresh)", replan_only,
+                                   (sc, pk4, world))
 
     print({k: round(v * 1e3, 3) for k, v in results.items()})
 
