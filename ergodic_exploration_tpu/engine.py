@@ -290,6 +290,27 @@ class Engine:
             hk = basis.hk_norm(K, domain.lengths)
             D = basis.dense_table(tbl, hk)
             S = gmm.means.shape[0]
+            renorm = None
+            if free_mask is not None and cfg.shared_maps:
+                # Shared-map fast path: fold the (identical-per-scenario)
+                # mask INTO the dense table, then repair the free-space
+                # normalizer from the k=(0,0) coefficient. With
+                # D'_nk = m_n F_k(p_n): ck_raw = (phi @ D') / sum(phi) and
+                # phi@m = h00 * ck_raw[0,0] * sum(phi), so the true
+                # free-space-normalized ck = ck_raw / (h00 * ck_raw[0,0]) —
+                # the masked refresh costs exactly the unmasked refresh
+                # (no (S, N) mask traffic; ~1 ms/tick at S=4096 on v5e).
+                m = free_mask[0] if free_mask.ndim == 2 else free_mask
+                D = D * m.astype(D.dtype)[:, None]
+                renorm = hk[0, 0]
+                free_mask = None
+
+            def _renorm(ck):
+                if renorm is None:
+                    return ck
+                denom = renorm * ck[:, 0, 0]
+                return ck / jnp.maximum(denom, 1e-12)[:, None, None]
+
             if cfg.use_pallas and S % 8 == 0:
                 # fused Pallas kernel: GMM eval + mask + normalize +
                 # contraction in one VMEM-resident pass (ops/pallas_kernels.py)
@@ -298,14 +319,14 @@ class Engine:
                 out = phik_from_gmm_pallas(
                     gmm.means, gmm.covs, gmm.weights, pts, D, free_mask=free_mask
                 )
-                return out.reshape(S, K, K)
+                return _renorm(out.reshape(S, K, K))
             if free_mask is None:
                 phi = jax.vmap(lambda g: target_ops.gmm_target_values(pts, g))(gmm)
             else:
                 phi = jax.vmap(
                     lambda g, m: target_ops.gmm_target_values(pts, g, free_mask=m)
                 )(gmm, free_mask)  # (S, N)
-            return basis.coefficients_dense(phi, D, K)
+            return _renorm(basis.coefficients_dense(phi, D, K))
 
         def one(g, dom, m):
             pts = dom.sample_lattice(cfg.grid_samples)

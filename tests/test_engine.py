@@ -434,3 +434,32 @@ def test_warmup_compiles_hot_paths_and_first_tick_is_fast(tmp_path):
     assert dt < max(0.5, 0.5 * timings["replan_refresh"]), (
         f"first real tick took {dt:.2f}s after warmup ({timings})"
     )
+
+
+def test_shared_maps_mask_fold_matches_per_scenario_mask():
+    """shared_maps=True folds the free-space mask into the dense basis table
+    (engine._phik_from_gmm_fn) and renormalizes via the k=(0,0) coefficient;
+    result must equal the explicit per-scenario masked path, on both the
+    XLA and Pallas refresh paths."""
+    S = 8
+    rng = np.random.default_rng(11)
+    gmm = target.GaussianMixture.create(
+        means=rng.uniform(0.3, 1.7, (S, 2, 2)).astype(np.float32),
+        covs=np.tile((0.12 * np.eye(2, dtype=np.float32))[None, None], (S, 2, 1, 1)),
+        weights=np.asarray(rng.uniform(0.5, 2.0, (S, 2)), np.float32),
+    )
+    grids = _obstacle_grids(S)  # identical rows -> shared map
+    for use_pallas in (False, True):
+        cfg = _cfg(use_pallas=use_pallas)
+        mask = Engine(cfg).prepare_world(grids).free_mask
+        p_ref = Engine(cfg).phik_from_gmm(gmm, DOM, mask)
+        p_fold = Engine(cfg.replace(shared_maps=True)).phik_from_gmm(gmm, DOM, mask)
+        np.testing.assert_allclose(
+            np.asarray(p_fold), np.asarray(p_ref), atol=2e-5,
+            err_msg=f"use_pallas={use_pallas}",
+        )
+    # a 1-D shared mask is accepted directly
+    p_1d = Engine(_cfg(use_pallas=False).replace(shared_maps=True)).phik_from_gmm(
+        gmm, DOM, mask[0]
+    )
+    np.testing.assert_allclose(np.asarray(p_1d), np.asarray(p_ref), atol=2e-5)
