@@ -72,12 +72,12 @@ def build_case(S: int, seed: int = 0):
 # round trip cancels.
 
 
-def _run_chain(step, sc, gmm, domain, world, iters):
+def _run_chain(step, sc, *args, iters):
     """Time `iters` serially-dependent steps; one forced readback at the end."""
     t0 = time.perf_counter()
     u = None
     for _ in range(iters):
-        sc, u, diag = step(sc, gmm, domain, world)
+        sc, u, diag = step(sc, *args)
     total = float(u.sum())  # forces the whole chain to completion
     dt = time.perf_counter() - t0
     assert np.isfinite(total), "non-finite controls"
@@ -92,15 +92,56 @@ def bench_throughput(S=4096, iters=50):
 
     sc, u, diag = step(sc, gmm, domain, world)  # compile + warm
     float(u.sum())
-    dt, sc = _run_chain(step, sc, gmm, domain, world, iters)
+    dt, sc = _run_chain(step, sc, gmm, domain, world, iters=iters)
     return S * iters / dt
 
 
-def bench_latency(n=32, reps=12):
+def build_case_mi(S: int, seed: int = 0):
+    """Config-4 case: evolving-belief maps (part unknown, part known, a wall)
+    feeding the per-tick MI target refresh + solve (replan_refresh_mi)."""
+    import jax.numpy as jnp
+
+    from ergodic_exploration_tpu.grid import GridMap
+
+    engine, sc, gmm, domain, world = build_case(S, seed)
+    belief = np.full((100, 100), -1.0, dtype=np.float32)  # unknown
+    belief[:, :55] = 0.0  # observed-free half
+    belief[45:50, 20:55] = 1.0  # the observed part of the wall
+    grids = GridMap(
+        data=jnp.broadcast_to(jnp.asarray(belief), (S, 100, 100)),
+        origin=jnp.zeros((S, 2), jnp.float32),
+        resolution=jnp.full((S,), 0.05, jnp.float32),
+    )
+    return engine, sc, grids, engine.prepare_world(grids)
+
+
+def bench_throughput_mi(S=4096, iters=50, sensor_radius_cells=3):
+    """Config-4 throughput: MI target recomputed from the occupancy grid
+    EVERY replan (the BASELINE config-4 per-tick work), fused with the solve
+    in one jitted program (engine.replan_refresh_mi)."""
+    import jax
+
+    engine, sc, grids, world = build_case_mi(S)
+    step = jax.jit(
+        lambda s, g, w: engine._refresh_mi_and_replan_fn(s, g, w, sensor_radius_cells),
+        donate_argnums=(0,),
+    )
+    sc, u, diag = step(sc, grids, world)  # compile + warm
+    float(u.sum())
+    dt, sc = _run_chain(step, sc, grids, world, iters=iters)
+    return S * iters / dt
+
+
+def bench_latency(n=128, reps=10):
     """Per-replan device latency for a single scenario: chain-difference
-    (t(2n) - t(n)) / n cancels the fixed tunnel round trip. Reports the
-    sample spread (p50/p99/min/max over ``reps`` repetitions), not just a
-    point estimate — run-to-run spread on this attachment is real."""
+    (t(2n) - t(n)) / n cancels the fixed tunnel round trip.
+
+    VERDICT r2 weak 2: at n=32 the estimator's variance was the size of the
+    estimate (0.091 ms vs 0.351 ms across rounds). Fix: n=128 chains (4x
+    more averaging per sample), interleaved t(n)/t(2n) pairs, and a 20%
+    trimmed mean over the reps as the headline p50-equivalent — two
+    consecutive runs must agree within 2x (pinned by the recorded spread).
+    """
     import jax
 
     engine, sc, gmm, domain, world = build_case(1)
@@ -111,16 +152,19 @@ def bench_latency(n=32, reps=12):
 
     samples = []
     for _ in range(reps):
-        t1, _ = _run_chain(step, sc, gmm, domain, world, n)
-        t2, _ = _run_chain(step, sc, gmm, domain, world, 2 * n)
+        t1, _ = _run_chain(step, sc, gmm, domain, world, iters=n)
+        t2, _ = _run_chain(step, sc, gmm, domain, world, iters=2 * n)
         samples.append((t2 - t1) / n)
-    s = np.asarray(samples) * 1e3
+    s = np.sort(np.asarray(samples)) * 1e3
+    k = max(1, int(0.2 * len(s)))  # trim 20% from each tail
+    trimmed = s[k:-k] if len(s) > 2 * k else s
     return {
-        "p50": float(np.median(s)),
+        "p50": float(np.mean(trimmed)),
         "p99": float(np.percentile(s, 99)),
         "min": float(s.min()),
         "max": float(s.max()),
         "reps": int(reps),
+        "chain": int(n),
     }
 
 
@@ -129,6 +173,7 @@ def _run():
 
     dev = jax.devices()[0]
     solves_per_s = bench_throughput()
+    mi_solves_per_s = bench_throughput_mi()
     lat = bench_latency()
     target_per_chip = 4096.0 / 16.0  # BASELINE: 4096 solves/s on v5e-16
     return {
@@ -136,10 +181,13 @@ def _run():
         "value": round(solves_per_s, 1),
         "unit": "solves/s/chip (H=20, 10k grid samples, obstacles+DWA)",
         "vs_baseline": round(solves_per_s / target_per_chip, 2),
+        "mi_solves_per_s_per_chip": round(mi_solves_per_s, 1),
+        "mi_vs_gmm_tick": round(mi_solves_per_s / solves_per_s, 3),
         "p50_replan_latency_ms": round(lat["p50"], 3),
         "p99_replan_latency_ms": round(lat["p99"], 3),
         "latency_spread_ms": [round(lat["min"], 3), round(lat["max"], 3)],
         "latency_reps": lat["reps"],
+        "latency_chain": lat["chain"],
         "latency_budget_ms": 100.0,
         "batch": 4096,
         "device": str(dev.platform),
@@ -177,7 +225,7 @@ def main():
                 "unit": "solves/s/chip (H=20, 10k grid samples, obstacles+DWA)",
                 "vs_baseline": 0.0,
                 "error": result.get("error", f"deadline {deadline}s exceeded (TPU claim hang)"),
-                "last_good_run": {"value": 213311.0, "p50_replan_latency_ms": 0.059},
+                "last_good_run": {"value": 720049.0, "p50_replan_latency_ms": 0.351},
             }
         )
     )

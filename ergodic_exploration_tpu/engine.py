@@ -303,13 +303,24 @@ class Engine:
                 m = free_mask[0] if free_mask.ndim == 2 else free_mask
                 D = D * m.astype(D.dtype)[:, None]
                 renorm = hk[0, 0]
+                # uniform-over-mask fallback (normalize_phi parity): a
+                # scenario whose phi has no mass on the free space falls
+                # back to (m @ D) / sum(m) — with the mask folded into D
+                # that is colsum(D)/sum(m), one shared (K, K) constant
+                mask_ck = (
+                    jnp.sum(D, axis=0) / jnp.maximum(jnp.sum(m), 1.0)
+                ).reshape(K, K)
                 free_mask = None
 
             def _renorm(ck):
                 if renorm is None:
                     return ck
-                denom = renorm * ck[:, 0, 0]
-                return ck / jnp.maximum(denom, 1e-12)[:, None, None]
+                denom = renorm * ck[:, 0, 0]  # = phi mass on the free space
+                return jnp.where(
+                    (denom > 1e-12)[:, None, None],
+                    ck / jnp.maximum(denom, 1e-12)[:, None, None],
+                    mask_ck[None, :, :],
+                )
 
             if cfg.use_pallas and S % 8 == 0:
                 # fused Pallas kernel: GMM eval + mask + normalize +
@@ -403,9 +414,23 @@ class Engine:
             phi_un = jax.vmap(lambda g: target_ops.gmm_eval(pts_blk, g))(gmm_blk)
             phi_un = jnp.maximum(phi_un, 0.0)  # (S_blk, N_blk)
             if mask_blk is not None:
-                phi_un = phi_un * mask_blk.astype(phi_un.dtype)
+                m = mask_blk.astype(phi_un.dtype)
+                phi_un = phi_un * m
             total = jax.lax.psum(jnp.sum(phi_un, axis=1), self.SAMPLE_AXIS)  # (S_blk,)
-            phi = phi_un / jnp.maximum(total, 1e-12)[:, None]
+            # Degenerate fallback — same rule as target.normalize_phi: a
+            # scenario whose masked phi sums to ~0 (fully occupied map)
+            # falls back to uniform over the mask, not ~0 coefficients.
+            if mask_blk is not None:
+                m_total = jax.lax.psum(jnp.sum(m, axis=1), self.SAMPLE_AXIS)
+                fallback = m / jnp.maximum(m_total, 1.0)[:, None]
+            else:
+                n_global = pts_blk.shape[0] * self.mesh.shape[self.SAMPLE_AXIS]
+                fallback = jnp.full_like(phi_un, 1.0 / n_global)
+            phi = jnp.where(
+                (total > 1e-12)[:, None],
+                phi_un / jnp.maximum(total, 1e-12)[:, None],
+                fallback,
+            )
             partial_ck = jnp.matmul(
                 phi, D_blk, precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
@@ -463,7 +488,14 @@ class Engine:
 
             vals = jax.vmap(vals_one)(grids_blk)  # (S_blk, N_blk)
             total = jax.lax.psum(jnp.sum(vals, axis=1), self.SAMPLE_AXIS)
-            phi = vals / jnp.maximum(total, 1e-12)[:, None]
+            # normalize_phi parity: all-zero info (fully occupied map) falls
+            # back to uniform over the full lattice, not ~0 coefficients
+            n_global = pts_blk.shape[0] * self.mesh.shape[self.SAMPLE_AXIS]
+            phi = jnp.where(
+                (total > 1e-12)[:, None],
+                vals / jnp.maximum(total, 1e-12)[:, None],
+                jnp.full_like(vals, 1.0 / n_global),
+            )
             partial_ck = jnp.matmul(
                 phi, D_blk, precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
@@ -474,11 +506,15 @@ class Engine:
         return block(grids, pts, D)
 
     def _phik_grid_one(self, g: GridMap, sensor_radius_cells: int = 0):
+        """One scenario's MI target coefficients, gather-free (the separable
+        one-hot contraction of ops/target.py — config 4's per-tick refresh
+        laid out for the MXU; parity vs the gather path is pinned by
+        tests/test_target.py)."""
         cfg = self.config
-        dom = g.domain()
-        pts = dom.sample_lattice(cfg.grid_samples)
-        phi = target_ops.mi_target_values(g, pts, sensor_radius_cells)
-        return self.controller.target_coefficients(phi, pts, dom)
+        return target_ops.phik_from_grid_separable(
+            g, cfg.num_basis, cfg.grid_samples,
+            sensor_radius_cells=sensor_radius_cells,
+        )
 
     def phik_from_grid(self, grids: GridMap, sensor_radius_cells: int = 0) -> jnp.ndarray:
         """Batched mutual-information target coefficients recomputed from the
@@ -627,6 +663,35 @@ class Engine:
             self._replan_refresh_jit = self._shard_jit(self._refresh_and_replan_fn, donate=(0,))
         return self._replan_refresh_jit(sc, gmm, domain, world)
 
+    def _refresh_mi_and_replan_fn(self, sc: Scenarios, grids: GridMap,
+                                  world: World, sensor_radius_cells: int):
+        """MI target refresh from the evolving occupancy grids + batched
+        solve in one trace — BASELINE config 4's FULL per-tick work
+        ("mutual-information target recomputed from an evolving occupancy
+        grid each replan", SURVEY.md sections 3 and 4.3). Gather-free: the
+        refresh is the separable one-hot contraction of ops/target.py."""
+        phik = jax.vmap(
+            lambda g: self._phik_grid_one(g, sensor_radius_cells)
+        )(grids)
+        return self._replan_fn(sc, phik, world)
+
+    def replan_refresh_mi(self, sc: Scenarios, grids: GridMap, world: World,
+                          sensor_radius_cells: int = 0):
+        """One batched tick including the per-tick MUTUAL-INFORMATION target
+        refresh (config 4's hot path; what bench.py's MI metric measures).
+        ``world`` carries the distance field built from the same beliefs at
+        map cadence (the reference's ~1 Hz SLAM refresh vs its 10 Hz control
+        loop, SURVEY.md section 4.3)."""
+        jits = getattr(self, "_replan_refresh_mi_jits", None)
+        if jits is None:
+            jits = self._replan_refresh_mi_jits = {}
+        f = jits.get(sensor_radius_cells)
+        if f is None:
+            f = self._shard_jit(self._refresh_mi_and_replan_fn,
+                                static_argnums=(3,), donate=(0,))
+            jits[sensor_radius_cells] = f
+        return f(sc, grids, world, sensor_radius_cells)
+
     def _explore_fn(self, sc: Scenarios, phik, world: World, n_ticks: int):
         def body(carry, _):
             state, x, vb = carry
@@ -654,13 +719,18 @@ class Engine:
 
     def explore_mapping(self, sc: Scenarios, truth: GridMap, n_ticks: int,
                         sensor_range: float = 1.5, refresh_every: int = 10,
-                        belief: Optional[GridMap] = None):
+                        belief: Optional[GridMap] = None,
+                        sensor_model: str = "raycast"):
         """Closed-loop exploration WITH online mapping (BASELINE config 4,
-        end-to-end): per-scenario beliefs start unknown, a disc range sensor
+        end-to-end): per-scenario beliefs start unknown, a range sensor
         reveals the hidden ground-truth maps as the robots move, and the
         mutual-information target + distance field are recomputed from the
         evolving beliefs every ``refresh_every`` ticks (the reference's
         ~1 Hz SLAM map cadence against its 10 Hz control loop).
+
+        ``sensor_model``: "raycast" (default; occlusion-aware — cells behind
+        walls stay unknown, matching the reference's SLAM-sourced ``/map``,
+        SURVEY.md section 4.3) or "disc" (x-ray disc; the round-1/2 model).
 
         Returns (ExploreOutput of the final chunk, belief GridMap,
         coverage (n_refreshes,) fraction-known history).
@@ -669,12 +739,26 @@ class Engine:
 
         if belief is None:
             belief = truth._replace(data=jnp.full_like(truth.data, -1.0))
-        reveal_b = jax.jit(jax.vmap(sensor.reveal, in_axes=(0, 0, 0, None)),
-                           static_argnums=())
+        if sensor_model == "raycast":
+            res = float(jnp.min(truth.resolution))
+            win = sensor.raycast_window_cells(sensor_range, res)
+
+            def reveal_one(b, t, x):
+                return sensor.reveal_raycast(
+                    b, t, x, sensor_range, win,
+                    occupied_threshold=self.config.occupied_threshold)
+
+            reveal_b = jax.jit(jax.vmap(reveal_one))
+        elif sensor_model == "disc":
+            reveal_b = jax.jit(jax.vmap(sensor.reveal, in_axes=(0, 0, 0, None)),
+                               static_argnums=(3,))
+            reveal_b = (lambda f: lambda b, t, x: f(b, t, x, sensor_range))(reveal_b)
+        else:
+            raise ValueError(f"unknown sensor_model {sensor_model!r}")
         coverage = []
         out = None
         for _ in range(max(1, n_ticks // refresh_every)):
-            belief = reveal_b(belief, truth, sc.x, sensor_range)
+            belief = reveal_b(belief, truth, sc.x)
             phik = self.phik_from_grid(belief)
             world = self.prepare_world(belief)
             out = self.explore(sc, phik, world, refresh_every)

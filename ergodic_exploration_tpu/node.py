@@ -45,13 +45,21 @@ class ExplorationNode:
     """
 
     def __init__(self, config: EngineConfig, domain: Optional[Domain] = None,
-                 target="mi", use_native: bool = True):
+                 target="mi", use_native: bool = True, pipeline: bool = False):
         self.config = config.validate()
         self.controller = ErgodicController(config)
         self.model = self.controller.model
         self.target = target
         self.domain = domain
         self.use_native = use_native and native.available()
+        # One-tick-latency pipelining (standard in real-time MPC): step()
+        # enqueues tick t's solve, starts its device->host copy, and returns
+        # tick t-1's twist — the readback overlaps the tick period instead
+        # of blocking it, hiding a slow host<->device link (this build
+        # attachment's ~30 ms tunnel). The emitted control lags the pose it
+        # was planned from by one tick (dt), which the horizon dwarfs.
+        self.pipeline = pipeline
+        self._pending = None
 
         self.state = self.controller.init_state()
         if self.config.use_fused_solve:
@@ -155,6 +163,11 @@ class ExplorationNode:
         Returns:
             (twist (3,) np.ndarray — the ``cmd_vel`` body twist,
              StepDiagnostics)
+
+        With ``pipeline=True`` the returned (twist, diag) belong to the
+        PREVIOUS tick's solve (zero twist on the very first tick): the
+        current solve is enqueued and its readback drains in the background
+        while the plant applies the previous command.
         """
         if self._stale:
             self._refresh()
@@ -162,7 +175,24 @@ class ExplorationNode:
             self.state, self._pose, self._twist, self._phik, self._world
         )
         self.ticks += 1
-        return np.asarray(self.model.twist(u)), diag
+        if not self.pipeline:
+            return np.asarray(self.model.twist(u)), diag
+        tw = self.model.twist(u)
+        for leaf in jax.tree.leaves((tw, diag)):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()  # overlap D2H with this tick
+        prev, self._pending = self._pending, (tw, diag)
+        if prev is None:
+            return np.zeros(3, dtype=np.float32), None
+        return np.asarray(prev[0]), jax.tree.map(np.asarray, prev[1])
+
+    def flush(self):
+        """Drain the pipelined tail: the last enqueued solve's (twist,
+        diag), or None if nothing is pending."""
+        prev, self._pending = self._pending, None
+        if prev is None:
+            return None
+        return np.asarray(prev[0]), jax.tree.map(np.asarray, prev[1])
 
     def predicted_path(self) -> np.ndarray:
         """(H+1, 3) forward-simulated path (nav_msgs/Path parity)."""

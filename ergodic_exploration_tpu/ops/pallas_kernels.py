@@ -36,17 +36,24 @@ _CHUNK = 1024  # sample points per grid step
 
 
 def _phik_gmm_body(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
-                   out_r, acc_r, tot_r, mask_r=None):
+                   out_r, tot_out_r, acc_r, tot_r,
+                   mask_r=None, accm_r=None, totm_r=None):
     """One (scenario-tile, sample-chunk) block.
 
     mx/my: (J, TS) component means; ia/ib/ic: (J, TS) inverse-covariance
     entries [Sinv_xx, Sinv_xy, Sinv_yy]; nr: (J, TS) w_j / (2 pi sqrt(det));
-    pts: (2, CHUNK); d: (CHUNK, K2); out: (TS, K2); acc/tot are VMEM scratch
-    persisting across the (innermost) chunk axis. The sample axis is padded
-    to a _CHUNK multiple with far-away points whose density underflows to 0.
+    pts: (2, CHUNK); d: (CHUNK, K2); out: (TS, K2); tot_out: (TS, 1) the
+    final phi normalizer (lets the caller apply the unmasked degenerate
+    fallback); acc/tot are VMEM scratch persisting across the (innermost)
+    chunk axis. The sample axis is padded to a _CHUNK multiple with far-away
+    points whose density underflows to 0.
     mask_r (optional): (TS, CHUNK) free-space weights multiplied into phi
     BEFORE the normalizer accumulates — reference semantics "GMM phi
     normalized over free space" (SURVEY.md section 3 target row / A.3).
+    The masked variant also accumulates the MASK's own contraction
+    (accm/totm) so a scenario whose masked phi underflows to ~0 falls back
+    to uniform-over-mask IN-KERNEL — exact normalize_phi parity (VERDICT r2
+    weak 6; costs a second dot, on the per-scenario-mask path only).
     """
     J, TS = mx_r.shape
     j = pl.program_id(1)
@@ -56,6 +63,9 @@ def _phik_gmm_body(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
     def _():
         acc_r[:, :] = jnp.zeros_like(acc_r)
         tot_r[:, :] = jnp.zeros_like(tot_r)
+        if mask_r is not None:
+            accm_r[:, :] = jnp.zeros_like(accm_r)
+            totm_r[:, :] = jnp.zeros_like(totm_r)
 
     px = pts_r[0, :]  # (CHUNK,)
     py = pts_r[1, :]
@@ -69,6 +79,12 @@ def _phik_gmm_body(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
         phi = phi + nr_r[c, :][:, None] * jnp.exp(-0.5 * q)
     if mask_r is not None:
         phi = phi * mask_r[:, :]
+        totm_r[:, :] += jnp.sum(mask_r[:, :], axis=1, keepdims=True)
+        accm_r[:, :] += jnp.dot(
+            mask_r[:, :], d_r[:, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     tot_r[:, :] += jnp.sum(phi, axis=1, keepdims=True)
     acc_r[:, :] += jnp.dot(
         phi, d_r[:, :],
@@ -78,19 +94,28 @@ def _phik_gmm_body(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
 
     @pl.when(j == n_chunks - 1)
     def _():
-        out_r[:, :] = acc_r[:, :] / jnp.maximum(tot_r[:, :], 1e-12)
+        tot_out_r[:, :] = tot_r[:, :]
+        ck = acc_r[:, :] / jnp.maximum(tot_r[:, :], 1e-12)
+        if mask_r is not None:
+            # normalize_phi parity: s <= eps -> uniform over the mask
+            # (empty mask -> 0/max(0,1) = 0, also matching)
+            fb = accm_r[:, :] / jnp.maximum(totm_r[:, :], 1.0)
+            ck = jnp.where(tot_r[:, :] > 1e-12, ck, fb)
+        out_r[:, :] = ck
 
 
 def _phik_gmm_kernel(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
-                     out_r, acc_r, tot_r):
+                     out_r, tot_out_r, acc_r, tot_r):
     _phik_gmm_body(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
-                   out_r, acc_r, tot_r)
+                   out_r, tot_out_r, acc_r, tot_r)
 
 
 def _phik_gmm_masked_kernel(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
-                            mask_r, out_r, acc_r, tot_r):
+                            mask_r, out_r, tot_out_r, acc_r, tot_r,
+                            accm_r, totm_r):
     _phik_gmm_body(mx_r, my_r, ia_r, ib_r, ic_r, nr_r, pts_r, d_r,
-                   out_r, acc_r, tot_r, mask_r=mask_r)
+                   out_r, tot_out_r, acc_r, tot_r,
+                   mask_r=mask_r, accm_r=accm_r, totm_r=totm_r)
 
 
 def phik_from_gmm_pallas(means, covs, weights, pts, D, tile: int | None = None,
@@ -150,29 +175,51 @@ def phik_from_gmm_pallas(means, covs, weights, pts, D, tile: int | None = None,
     operands = [mx, my, ia, ib, ic, nr, ptsT, D]
     kernel = _phik_gmm_kernel
     mask_bytes = 0
+    dot_passes = 1
+    scratch = [
+        pltpu.VMEM((tile, K2), jnp.float32),
+        pltpu.VMEM((tile, 1), jnp.float32),
+    ]
     if free_mask is not None:
         kernel = _phik_gmm_masked_kernel
         in_specs.append(
             pl.BlockSpec((tile, _CHUNK), lambda i, j: (i, j), memory_space=pltpu.VMEM))
         operands.append(free_mask.astype(jnp.float32))
         mask_bytes = S * N * 4
-    return pl.pallas_call(
+        dot_passes = 2  # the mask's own contraction (degenerate fallback)
+        scratch += [
+            pltpu.VMEM((tile, K2), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.float32),
+        ]
+    ck, tot = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, K2), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, K2), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((tile, K2), jnp.float32),
-            pltpu.VMEM((tile, 1), jnp.float32),
-        ],
+        out_specs=(
+            pl.BlockSpec((tile, K2), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, K2), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1), jnp.float32),
+        ),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * S * N * (K2 + 8 * J),
+            flops=2 * S * N * (dot_passes * K2 + 8 * J),
             bytes_accessed=(S // tile) * N * (K2 + 2) * 4 + S * K2 * 4 + mask_bytes,
             transcendentals=S * N * J,
         ),
         interpret=interpret,
     )(*operands)
+    if free_mask is None:
+        # normalize_phi parity for the unmasked path: a scenario whose phi
+        # underflows everywhere falls back to uniform over the lattice
+        # (ck_u = colsum(D) / N — constant, so the select is free; in-kernel
+        # it would be a captured array constant, which Mosaic forbids)
+        n_real = N - pad
+        ck_u = (jnp.sum(D, axis=0) / float(n_real))[None, :]
+        ck = jnp.where(tot > 1e-12, ck, ck_u)
+    return ck

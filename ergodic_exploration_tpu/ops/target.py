@@ -117,10 +117,86 @@ def sample_map_at(values, grid, points):
 def mi_target_values(grid, points, sensor_radius_cells: int = 0):
     """phi values at sample points from the current occupancy grid,
     normalized to sum 1 — recomputed each replan as the grid evolves
-    (BASELINE config 4)."""
+    (BASELINE config 4).
+
+    NOTE: ``sample_map_at`` is a TPU gather (~13 ns/element) — this function
+    is the slow/oracle twin for arbitrary point sets. The hot path
+    (Engine.phik_from_grid, replan_refresh_mi) uses
+    :func:`phik_from_grid_separable`, which never gathers.
+    """
     info = mutual_information_map(grid, sensor_radius_cells)
     vals = sample_map_at(info, grid, points)
     return normalize_phi(vals)
+
+
+def phik_from_grid_separable(grid, K: int, grid_samples, domain=None,
+                             sensor_radius_cells: int = 0, eps: float = 1e-12):
+    """Gather-free MI target coefficients phi_k from one occupancy grid —
+    the TPU-native config-4 per-tick refresh (reference capability:
+    the information-map target recomputed each replan, SURVEY.md sections 3
+    "Information-map target" and 4.3).
+
+    Exactly equal (up to fp32 reassociation) to
+
+        normalize_phi(sample_map_at(info, grid, lattice)) -> basis.coefficients
+
+    but with the nearest-cell lattice sampling folded into the separable
+    cosine contraction: sampling a separable lattice from a (H, W) map is a
+    one-hot aggregation per axis, so
+
+        ck_raw[k1, k2] = sum_{r, c} info[r, c] * Gx[c, k1] * Gy[r, k2]
+        Gx = Ax^T @ cosx   (W, K),  Ax[i, c] = [nearest col of lattice x_i == c]
+        Gy = Ay^T @ cosy   (H, K)
+
+    — two (K, n)@(n, n)-scale MXU matmuls per scenario, ~9x fewer flops than
+    the dense (N, K^2) table and zero gathers/scatters (the round-1 rule:
+    gathers run at ~13 ns/element on TPU and are banned from hot paths).
+    The k = (0, 0) entry of the raw contraction IS the normalizer
+    (cos(0) = 1), so free-space normalization costs nothing extra; the
+    degenerate all-zero-info fallback (uniform over the lattice) has the
+    closed form sum_i cosx[i, k1] * sum_j cosy[j, k2] / N, matching
+    :func:`normalize_phi`'s fallback. Batch scenarios with vmap.
+    """
+    from ergodic_exploration_tpu.ops import basis
+
+    _EXACT = jax.lax.Precision.HIGHEST
+    info = mutual_information_map(grid, sensor_radius_cells)  # (H, W)
+    dom = grid.domain() if domain is None else domain
+    nsx, nsy = grid_samples
+    h, w = grid.shape
+
+    # per-axis lattice coordinates (Domain.sample_lattice separability)
+    fx = (jnp.arange(nsx, dtype=jnp.float32) + 0.5) / nsx
+    fy = (jnp.arange(nsy, dtype=jnp.float32) + 0.5) / nsy
+    gx = dom.origin[0] + fx * dom.lengths[0]  # (nsx,)
+    gy = dom.origin[1] + fy * dom.lengths[1]  # (nsy,)
+
+    # nearest map cell per lattice coordinate (grid.cell_index semantics)
+    cx = jnp.clip(jnp.round((gx - grid.origin[0]) / grid.resolution - 0.5), 0.0, w - 1.0)
+    cy = jnp.clip(jnp.round((gy - grid.origin[1]) / grid.resolution - 0.5), 0.0, h - 1.0)
+
+    # per-axis cosine tables at the lattice (basis.tables separated)
+    k = jnp.arange(K, dtype=jnp.float32)
+    cosx = jnp.cos((gx - dom.origin[0])[:, None] * (k * jnp.pi / dom.lengths[0])[None, :])
+    cosy = jnp.cos((gy - dom.origin[1])[:, None] * (k * jnp.pi / dom.lengths[1])[None, :])
+
+    # one-hot aggregation of the lattice cosines onto map columns/rows
+    Ax = (cx[:, None] == jnp.arange(w, dtype=jnp.float32)[None, :]).astype(jnp.float32)
+    Ay = (cy[:, None] == jnp.arange(h, dtype=jnp.float32)[None, :]).astype(jnp.float32)
+    Gx = jnp.matmul(Ax.T, cosx, precision=_EXACT, preferred_element_type=jnp.float32)  # (W, K)
+    Gy = jnp.matmul(Ay.T, cosy, precision=_EXACT, preferred_element_type=jnp.float32)  # (H, K)
+
+    # raw[k1, k2] = sum_{r,c} info[r,c] Gx[c,k1] Gy[r,k2]; raw[0,0] = total phi
+    t1 = jnp.matmul(info, Gx, precision=_EXACT, preferred_element_type=jnp.float32)  # (H, K1)
+    raw = jnp.matmul(t1.T, Gy, precision=_EXACT, preferred_element_type=jnp.float32)  # (K1, K2)
+
+    hk = basis.hk_norm(K, dom.lengths)
+    total = raw[0, 0]
+    ck = raw / (jnp.maximum(total, eps) * hk)
+    # normalize_phi fallback parity: uniform over the lattice when info ~ 0
+    n = float(nsx * nsy)
+    ck_u = (jnp.sum(cosx, axis=0)[:, None] * jnp.sum(cosy, axis=0)[None, :]) / (n * hk)
+    return jnp.where(total > eps, ck, ck_u)
 
 
 def gmm_target_values(points, gmm: GaussianMixture, free_mask=None):

@@ -88,6 +88,7 @@ _SCALAR_FIELD_SAMPLES = {
     "precision": ("bf16", "bf16"),
     "use_pallas": (False, False),
     "use_fused_solve": (True, True),
+    "shared_maps": (True, True),
     "scan_unroll": (4, 4),
 }
 

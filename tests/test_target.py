@@ -81,6 +81,69 @@ def test_mi_target_values_normalized_and_evolving():
     assert not np.allclose(np.asarray(phi0), np.asarray(phi1))
 
 
+def _phik_gather_path(g, K, grid_samples, sensor_radius_cells=0):
+    """The slow/oracle MI phi_k: gather-sample the lattice, normalize,
+    contract with per-point basis tables (what the engine used pre-round-3)."""
+    from ergodic_exploration_tpu.ops import basis
+
+    dom = g.domain()
+    pts = dom.sample_lattice(grid_samples)
+    phi = target.mi_target_values(g, pts, sensor_radius_cells)
+    tbl = basis.tables(pts, K, dom)
+    hk = basis.hk_norm(K, dom.lengths)
+    return basis.coefficients(tbl, phi, hk)
+
+
+def test_phik_separable_matches_gather_path():
+    """VERDICT r2 item 1: the gather-free separable MI refresh must equal
+    the gather path — lattice == grid, lattice != grid (resampling), blurred,
+    offset origin, and the degenerate all-occupied fallback."""
+    K = 7
+    raw = -np.ones((25, 30), dtype=np.int8)  # non-square: catches H/W swaps
+    raw[5:15, 3:12] = 0
+    raw[8:10, 20:24] = 100
+    rng = np.random.default_rng(9)
+    raw[20:, :] = rng.choice([-1, 0, 100], size=(5, 30), p=[0.4, 0.5, 0.1]).astype(np.int8)
+    for origin, res in (((0.0, 0.0), 0.1), ((-1.25, 0.4), 0.07)):
+        g = GridMap.from_ros(raw, origin[0], origin[1], res)
+        for ns in ((30, 25), (48, 40), (17, 11)):
+            for r in (0, 2):
+                want = np.asarray(_phik_gather_path(g, K, ns, r))
+                got = np.asarray(target.phik_from_grid_separable(g, K, ns,
+                                                                 sensor_radius_cells=r))
+                np.testing.assert_allclose(got, want, atol=3e-5,
+                                           err_msg=f"{origin} {res} {ns} r={r}")
+
+    # degenerate: fully occupied map -> uniform-over-lattice fallback
+    g_occ = GridMap.from_ros(np.full((10, 10), 100, np.int8), 0.0, 0.0, 0.1)
+    want = np.asarray(_phik_gather_path(g_occ, K, (12, 12)))
+    got = np.asarray(target.phik_from_grid_separable(g_occ, K, (12, 12)))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+    assert abs(got[0, 0]) > 0.1  # uniform fallback, not ~0 coefficients
+
+
+def test_engine_phik_from_grid_uses_separable_and_matches():
+    """Engine.phik_from_grid (batched) == per-scenario gather oracle."""
+    from ergodic_exploration_tpu.config import default_config
+    from ergodic_exploration_tpu.engine import Engine
+
+    cfg = default_config("cart").replace(num_basis=6, grid_samples=(20, 20))
+    engine = Engine(cfg)
+    S = 3
+    data = np.full((S, 15, 15), -1.0, np.float32)
+    data[:, :7, :] = 0.0
+    data[1, 3:5, 3:5] = 1.0
+    import jax
+
+    grids = GridMap(jnp.asarray(data), jnp.zeros((S, 2), jnp.float32),
+                    jnp.full((S,), 0.1, jnp.float32))
+    got = np.asarray(engine.phik_from_grid(grids, sensor_radius_cells=1))
+    for i in range(S):
+        g1 = jax.tree.map(lambda a: a[i], grids)
+        want = np.asarray(_phik_gather_path(g1, 6, (20, 20), 1))
+        np.testing.assert_allclose(got[i], want, atol=3e-5)
+
+
 def test_box_blur_spreads_information():
     raw = np.zeros((9, 9), dtype=np.int8)
     raw[4, 4] = -1  # single unknown cell

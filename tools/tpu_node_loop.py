@@ -21,7 +21,8 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def run_loop(fused: bool, n_steps: int = 300, map_every: int = 50):
+def run_loop(fused: bool, n_steps: int = 300, map_every: int = 50,
+             pipeline: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +36,7 @@ def run_loop(fused: bool, n_steps: int = 300, map_every: int = 50):
         means=np.array([[1.2, 3.8], [3.8, 3.8]], np.float32),
         covs=np.tile(0.15 * np.eye(2, dtype=np.float32)[None], (2, 1, 1)),
     )
-    node = ExplorationNode(cfg, target=gmm, use_native=True)
+    node = ExplorationNode(cfg, target=gmm, use_native=True, pipeline=pipeline)
 
     H = W = 100
     base = np.zeros((H, W), np.int8)
@@ -68,13 +69,14 @@ def run_loop(fused: bool, n_steps: int = 300, map_every: int = 50):
         t0 = time.perf_counter()
         tw, diag = node.step()
         lat.append(time.perf_counter() - t0)
-        dwa += int(np.asarray(diag.dwa_active))
+        dwa += int(np.asarray(diag.dwa_active)) if diag is not None else 0
         plant_out = plant(tw)
         node.on_odom(*plant_out)
     wall = time.perf_counter() - t_wall0
     lat = np.asarray(lat) * 1e3
     return {
         "fused": fused,
+        "pipeline": pipeline,
         "n_steps": n_steps,
         "map_updates": n_steps // map_every,
         "p50_ms": round(float(np.median(lat)), 3),
@@ -95,8 +97,8 @@ def main():
     import jax
 
     print("device:", jax.devices()[0].platform)
-    for fused in (False, True):
-        print(json.dumps(run_loop(fused)))
+    for fused, pipeline in ((False, False), (True, False), (True, True)):
+        print(json.dumps(run_loop(fused, pipeline=pipeline)))
 
 
 if __name__ == "__main__":

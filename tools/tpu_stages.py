@@ -72,6 +72,24 @@ def main():
         lambda g: g._replace(weights=g.weights + 0 * refresh(g, None)[:, 0, 0, None]),
         (gmm,))
 
+    # ---- stage: MI refresh (config 4, gather-free separable path) ----
+    from bench import build_case_mi
+
+    _, sc_mi, grids_mi, world_mi = build_case_mi(S)
+
+    def mi_refresh(g):
+        pk_ = jax.vmap(lambda g1: engine._phik_grid_one(g1, 3))(g)
+        return g._replace(resolution=g.resolution + 0 * pk_[:, 0, 0])
+
+    results["refresh_mi"] = chain("MI refresh (separable, r=3)", mi_refresh,
+                                  (grids_mi,))
+
+    def tick_mi(sc_, g_, w_):
+        return engine._refresh_mi_and_replan_fn(sc_, g_, w_, 3)[0]
+
+    results["tick_mi"] = chain("full tick (MI refresh)", tick_mi,
+                               (sc_mi, grids_mi, world_mi))
+
     # ---- stage: patch extraction ----
     def patch_stage(x_):
         p = jax.vmap(lambda d, c: extract_patch(d, c, cfg.patch_cells))(
