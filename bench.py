@@ -112,18 +112,20 @@ def build_case_mi(S: int, seed: int = 0):
         origin=jnp.zeros((S, 2), jnp.float32),
         resolution=jnp.full((S,), 0.05, jnp.float32),
     )
-    return engine, sc, grids, engine.prepare_world(grids)
+    return engine, sc, grids, engine.prepare_world(grids), domain
 
 
 def bench_throughput_mi(S=4096, iters=50, sensor_radius_cells=3):
     """Config-4 throughput: MI target recomputed from the occupancy grid
     EVERY replan (the BASELINE config-4 per-tick work), fused with the solve
-    in one jitted program (engine.replan_refresh_mi)."""
+    in one jitted program (engine.replan_refresh_mi; shared-domain dense
+    refresh path)."""
     import jax
 
-    engine, sc, grids, world = build_case_mi(S)
+    engine, sc, grids, world, domain = build_case_mi(S)
     step = jax.jit(
-        lambda s, g, w: engine._refresh_mi_and_replan_fn(s, g, w, sensor_radius_cells),
+        lambda s, g, w: engine._refresh_mi_and_replan_fn(
+            s, g, w, sensor_radius_cells, domain),
         donate_argnums=(0,),
     )
     sc, u, diag = step(sc, grids, world)  # compile + warm

@@ -285,11 +285,16 @@ class Engine:
         cfg = self.config
         K = cfg.num_basis
         if domain.origin.ndim == 1:  # shared domain -> dense-table path
+            # NOTE (round-3 measurement): a SEPARABLE two-matmul contraction
+            # (9x fewer flops) was tried here and measured 3.4x SLOWER than
+            # the dense path on v5e — K=10-wide matmul outputs use ~8% of
+            # the 128-wide MXU, while the dense (N, K^2 = 100) table keeps
+            # it full. Utilization beats flop count at these shapes.
             pts = domain.sample_lattice(cfg.grid_samples)
-            tbl = basis.tables(pts, K, domain)
             hk = basis.hk_norm(K, domain.lengths)
-            D = basis.dense_table(tbl, hk)
             S = gmm.means.shape[0]
+            tbl = basis.tables(pts, K, domain)
+            D = basis.dense_table(tbl, hk)
             renorm = None
             if free_mask is not None and cfg.shared_maps:
                 # Shared-map fast path: fold the (identical-per-scenario)
@@ -507,19 +512,86 @@ class Engine:
 
     def _phik_grid_one(self, g: GridMap, sensor_radius_cells: int = 0):
         """One scenario's MI target coefficients, gather-free (the separable
-        one-hot contraction of ops/target.py — config 4's per-tick refresh
-        laid out for the MXU; parity vs the gather path is pinned by
-        tests/test_target.py)."""
+        one-hot contraction of ops/target.py — config 4's per-tick refresh;
+        parity vs the gather path is pinned by tests/test_target.py).
+        General per-scenario geometry; for a SHARED domain the batched
+        dense path (:meth:`_phik_grid_batch_dense_fn`) keeps the MXU full."""
         cfg = self.config
         return target_ops.phik_from_grid_separable(
             g, cfg.num_basis, cfg.grid_samples,
             sensor_radius_cells=sensor_radius_cells,
         )
 
-    def phik_from_grid(self, grids: GridMap, sensor_radius_cells: int = 0) -> jnp.ndarray:
+    def _phik_grid_batch_dense_fn(self, grids: GridMap, domain: Domain,
+                                  sensor_radius_cells: int):
+        """Batched MI target coefficients on a SHARED (unbatched) domain:
+        per-scenario entropy map -> gather-free one-hot lattice resample
+        with the SENSOR-FOOTPRINT BLUR FOLDED INTO the sampling matrices ->
+        ONE (S, N) @ (N, K^2) dense contraction. Same values as the
+        separable/gather paths (parity-pinned by tests/test_target.py).
+
+        TPU layout choices (all measured on v5e):
+        - wide-output matmuls keep the 128-lane MXU full (the narrow K=10
+          contraction measured 3.4x slower — see the GMM-path note);
+        - the box blur is LINEAR, so blur-then-sample folds into exact
+          small-integer count matrices (target_ops.blur_count_matrix) at
+          trace time — the blur's cumsum passes over (S, H, W) disappear
+          and the (2r+1)^2 scale cancels in phi normalization;
+        - the occupied-cell zeroing happens AFTER the blur in
+          mutual_information_map; nearest-cell sampling commutes with
+          elementwise products, so it becomes a resampled 0/1 mask — a
+          bf16-exact DEFAULT-precision one-hot matmul.
+        """
+        from ergodic_exploration_tpu.ops import basis
+
+        cfg = self.config
+        K = cfg.num_basis
+        r = sensor_radius_cells
+        nsx, nsy = cfg.grid_samples
+        pts = domain.sample_lattice(cfg.grid_samples)
+        hk = basis.hk_norm(K, domain.lengths)
+        D = basis.dense_table(basis.tables(pts, K, domain), hk)
+        h, w = grids.data.shape[-2:]
+        Bx = target_ops.blur_count_matrix(w, r)
+        By = target_ops.blur_count_matrix(h, r)
+        _HI = jax.lax.Precision.HIGH
+        _DEF = jax.lax.Precision.DEFAULT
+
+        def vals_one(g):
+            info = target_ops.entropy(g.prob())  # (h, w), unblurred
+            zfree = (~g.occupied()).astype(jnp.float32)
+            Ax, Ay = target_ops.sampling_one_hots(g, cfg.grid_samples, domain)
+            # blur-folded sampling matrices: exact small-int counts (bf16-safe)
+            Axb = jnp.matmul(Ax, Bx, precision=_DEF)  # (nsx, w)
+            Ayb = jnp.matmul(Ay, By, precision=_DEF)  # (nsy, h)
+            # blurred info at the lattice, scaled by (2r+1)^2 (cancels below)
+            sampled = jnp.matmul(
+                jnp.matmul(Axb, info.T, precision=_HI), Ayb.T, precision=_HI,
+                preferred_element_type=jnp.float32)  # (nsx, nsy)
+            zs = jnp.matmul(
+                jnp.matmul(Ax, zfree.T, precision=_DEF), Ay.T, precision=_DEF)
+            return (sampled * zs).reshape(nsx * nsy)
+
+        vals = jnp.maximum(jax.vmap(vals_one)(grids), 0.0)  # (S, N)
+        ck_raw = basis.coefficients_dense(vals, D, K)
+        total = ck_raw[:, 0, 0] * hk[0, 0]  # scaled sum — scale cancels
+        n = float(pts.shape[0])
+        fallback = (jnp.sum(D, axis=0) / n).reshape(K, K)[None]
+        return jnp.where(
+            (total > 1e-12)[:, None, None],
+            ck_raw / jnp.maximum(total, 1e-12)[:, None, None],
+            fallback,
+        )
+
+    def phik_from_grid(self, grids: GridMap, sensor_radius_cells: int = 0,
+                       domain: Optional[Domain] = None) -> jnp.ndarray:
         """Batched mutual-information target coefficients recomputed from the
         (evolving) occupancy grids — BASELINE config 4. Rides the sample-
-        sharded reduction when the mesh has a populated ``sample`` axis."""
+        sharded reduction when the mesh has a populated ``sample`` axis.
+
+        ``domain``: pass the (unbatched) shared exploration domain when all
+        grids share it — enables the dense wide-matmul path (~2x faster);
+        omitted, the general per-scenario separable path runs."""
         r = sensor_radius_cells
         if (
             self.mesh is not None
@@ -531,11 +603,16 @@ class Engine:
                 f = jax.jit(lambda g: self._phik_grid_sharded_fn(g, r))
                 self._phik_grid_sharded_jits[r] = f
             return f(grids)
-        f = self._phik_grid_jits.get(r)
+        dense = domain is not None and domain.origin.ndim == 1
+        f = self._phik_grid_jits.get((r, dense))
         if f is None:
-            f = jax.jit(jax.vmap(lambda g: self._phik_grid_one(g, r)))
-            self._phik_grid_jits[r] = f
-        return self.shard_scenarios(f(grids))
+            if dense:
+                f = jax.jit(lambda g, d: self._phik_grid_batch_dense_fn(g, d, r))
+            else:
+                f = jax.jit(lambda g, d: jax.vmap(
+                    lambda g1: self._phik_grid_one(g1, r))(g))
+            self._phik_grid_jits[(r, dense)] = f
+        return self.shard_scenarios(f(grids, domain))
 
     # ------------------------------------------------------------------
     # startup (SURVEY.md section 4.1: compilation is the startup cost)
@@ -664,33 +741,41 @@ class Engine:
         return self._replan_refresh_jit(sc, gmm, domain, world)
 
     def _refresh_mi_and_replan_fn(self, sc: Scenarios, grids: GridMap,
-                                  world: World, sensor_radius_cells: int):
+                                  world: World, sensor_radius_cells: int,
+                                  domain: Optional[Domain] = None):
         """MI target refresh from the evolving occupancy grids + batched
         solve in one trace — BASELINE config 4's FULL per-tick work
         ("mutual-information target recomputed from an evolving occupancy
         grid each replan", SURVEY.md sections 3 and 4.3). Gather-free: the
-        refresh is the separable one-hot contraction of ops/target.py."""
-        phik = jax.vmap(
-            lambda g: self._phik_grid_one(g, sensor_radius_cells)
-        )(grids)
+        dense resample+contract path when a shared ``domain`` is given,
+        else the per-scenario separable contraction (ops/target.py)."""
+        if domain is not None and domain.origin.ndim == 1:
+            phik = self._phik_grid_batch_dense_fn(grids, domain, sensor_radius_cells)
+        else:
+            phik = jax.vmap(
+                lambda g: self._phik_grid_one(g, sensor_radius_cells)
+            )(grids)
         return self._replan_fn(sc, phik, world)
 
     def replan_refresh_mi(self, sc: Scenarios, grids: GridMap, world: World,
-                          sensor_radius_cells: int = 0):
+                          sensor_radius_cells: int = 0,
+                          domain: Optional[Domain] = None):
         """One batched tick including the per-tick MUTUAL-INFORMATION target
         refresh (config 4's hot path; what bench.py's MI metric measures).
         ``world`` carries the distance field built from the same beliefs at
         map cadence (the reference's ~1 Hz SLAM refresh vs its 10 Hz control
-        loop, SURVEY.md section 4.3)."""
+        loop, SURVEY.md section 4.3). Pass the shared ``domain`` when all
+        grids span it — the refresh then rides the dense wide-matmul path."""
         jits = getattr(self, "_replan_refresh_mi_jits", None)
         if jits is None:
             jits = self._replan_refresh_mi_jits = {}
-        f = jits.get(sensor_radius_cells)
+        key = (sensor_radius_cells, domain is not None and domain.origin.ndim == 1)
+        f = jits.get(key)
         if f is None:
             f = self._shard_jit(self._refresh_mi_and_replan_fn,
                                 static_argnums=(3,), donate=(0,))
-            jits[sensor_radius_cells] = f
-        return f(sc, grids, world, sensor_radius_cells)
+            jits[key] = f
+        return f(sc, grids, world, sensor_radius_cells, domain)
 
     def _explore_fn(self, sc: Scenarios, phik, world: World, n_ticks: int):
         def body(carry, _):
@@ -765,6 +850,60 @@ class Engine:
             sc = out.scenarios
             coverage.append(sensor.fraction_known(belief))
         return out, belief, jnp.stack(coverage)
+
+    def explore_mapping_fused(self, sc: Scenarios, truth: GridMap,
+                              n_refreshes: int, refresh_every: int = 10,
+                              sensor_range: float = 1.5,
+                              sensor_radius_cells: int = 0):
+        """:meth:`explore_mapping`, entirely ON-DEVICE: one jitted
+        ``lax.scan`` over map-refresh chunks, each = occlusion-aware reveal
+        -> MI target refresh (dense path) -> EDT world rebuild -> an inner
+        ``explore`` scan of ``refresh_every`` ticks. Zero host round trips
+        between refreshes — the whole config-4 closed loop (sense, map,
+        target, plan, act; SURVEY.md section 4.3) is one XLA program, so
+        thousands of mapping scenarios run at device speed.
+
+        Requires identically-shaped grids sharing one domain (the batched
+        engine's standard setup). Returns (Scenarios, belief GridMap,
+        coverage (n_refreshes, ) history, trajectory (n_refreshes,
+        refresh_every, S, 3)).
+        """
+        from ergodic_exploration_tpu.ops import sensor
+
+        g0 = jax.tree.map(lambda a: a[0], truth)
+        res = float(jnp.min(truth.resolution))
+        win = sensor.raycast_window_cells(sensor_range, res)
+        dom = Domain(origin=g0.origin, lengths=g0.domain().lengths)
+
+        jits = getattr(self, "_explore_mapping_fused_jits", None)
+        if jits is None:
+            jits = self._explore_mapping_fused_jits = {}
+        key = (n_refreshes, refresh_every, win, sensor_radius_cells,
+               float(sensor_range))
+        f = jits.get(key)
+        if f is None:
+            def run(sc_, truth_, belief_, dom_):
+                def chunk(carry, _):
+                    sc_c, belief_c = carry
+                    belief_c = jax.vmap(lambda b, t, x: sensor.reveal_raycast(
+                        b, t, x, sensor_range, win,
+                        occupied_threshold=self.config.occupied_threshold))(
+                            belief_c, truth_, sc_c.x)
+                    phik = self._phik_grid_batch_dense_fn(
+                        belief_c, dom_, sensor_radius_cells)
+                    world = jax.vmap(self._world_one)(belief_c)
+                    out = self._explore_fn(sc_c, phik, world, refresh_every)
+                    return (out.scenarios, belief_c), (
+                        sensor.fraction_known(belief_c), out.trajectory)
+
+                (sc2, b2), (cov, traj) = jax.lax.scan(
+                    chunk, (sc_, belief_), None, length=n_refreshes)
+                return sc2, b2, cov, traj
+
+            f = self._shard_jit(run, donate=(0,))
+            jits[key] = f
+        belief = truth._replace(data=jnp.full_like(truth.data, -1.0))
+        return f(sc, truth, belief, dom)
 
 
 def _copy_tree(tree):

@@ -125,6 +125,37 @@ def dense_table(tbl: BasisTables, hk):
     return fourier_basis_at(tbl, hk).reshape(N, K * K)
 
 
+def axis_cos_tables(K: int, grid_samples, domain):
+    """Per-axis lattice cosine tables (cosx (nsx, K), cosy (nsy, K)) for the
+    SEPARABLE lattice of ``Domain.sample_lattice`` — the inputs of
+    :func:`coefficients_separable`."""
+    nsx, nsy = grid_samples
+    k = jnp.arange(K, dtype=jnp.float32)
+    fx = (jnp.arange(nsx, dtype=jnp.float32) + 0.5) / nsx * domain.lengths[0]
+    fy = (jnp.arange(nsy, dtype=jnp.float32) + 0.5) / nsy * domain.lengths[1]
+    cosx = jnp.cos(fx[:, None] * (k * jnp.pi / domain.lengths[0])[None, :])
+    cosy = jnp.cos(fy[:, None] * (k * jnp.pi / domain.lengths[1])[None, :])
+    return cosx, cosy
+
+
+def coefficients_separable(phi_grid, cosx, cosy, hk):
+    """Batched RAW basis contraction on a separable sample lattice:
+    ck_raw[s, k1, k2] = sum_{ix, iy} phi[s, ix, iy] cosx[ix, k1] cosy[iy, k2] / hk.
+
+    The lattice of ``Domain.sample_lattice`` is an outer product of per-axis
+    points, so the dense (N, K^2) table contraction factorizes into TWO
+    small matmuls — (S*nsx, nsy)@(nsy, K) then (S*K, nsx)@(nsx, K) — ~9x
+    fewer MXU flops at K=10, N=10^4 than the dense path, full fp32.
+    ``ck_raw[s, 0, 0] * hk[0, 0]`` is sum(phi) (cos 0 = 1), so the caller
+    normalizes for free. phi_grid: (S, nsx, nsy) — x-major, the reshape of
+    the (S, N) lattice values."""
+    A = jnp.einsum("sxy,yl->sxl", phi_grid, cosy,
+                   precision=_EXACT, preferred_element_type=jnp.float32)
+    ck = jnp.einsum("sxl,xk->skl", A, cosx,
+                    precision=_EXACT, preferred_element_type=jnp.float32)
+    return ck / hk[None, :, :]
+
+
 def coefficients_dense(phi_batch, D, K: int):
     """Batched coefficients via the dense table: (S, N) @ (N, K^2) -> (S, K, K).
 

@@ -199,6 +199,53 @@ def phik_from_grid_separable(grid, K: int, grid_samples, domain=None,
     return jnp.where(total > eps, ck, ck_u)
 
 
+def blur_count_matrix(n: int, radius: int, dtype=jnp.float32):
+    """(n, n) small-integer counts C with (C @ v)[i] = sum_{k=i-r}^{i+r}
+    v[clip(k, 0, n-1)] — the edge-padded box blur of :func:`_box_blur_1d`
+    times (2r+1). Integer-valued (<= r+2), so EXACT even at bf16 matmul
+    precision; fold it into one-hot sampling matrices to get blurring for
+    free (the 1/(2r+1)^2 scale cancels in phi normalization)."""
+    if radius <= 0:
+        return jnp.eye(n, dtype=dtype)
+    i = jnp.arange(n)
+    j = jnp.arange(n)
+    B = (jnp.abs(i[:, None] - j[None, :]) <= radius).astype(dtype)
+    B = B.at[:, 0].set(jnp.maximum(0, radius - i + 1).astype(dtype))
+    B = B.at[:, -1].set(jnp.maximum(0, i + radius - (n - 1) + 1).astype(dtype))
+    return B
+
+
+def sampling_one_hots(grid, grid_samples, domain):
+    """One-hot nearest-cell sampling matrices (Ax (nsx, W), Ay (nsy, H))
+    from the separable lattice of ``domain`` into ``grid``'s cells."""
+    h, w = grid.shape
+    nsx, nsy = grid_samples
+    fx = (jnp.arange(nsx, dtype=jnp.float32) + 0.5) / nsx
+    fy = (jnp.arange(nsy, dtype=jnp.float32) + 0.5) / nsy
+    gx = domain.origin[0] + fx * domain.lengths[0]
+    gy = domain.origin[1] + fy * domain.lengths[1]
+    cx = jnp.clip(jnp.round((gx - grid.origin[0]) / grid.resolution - 0.5), 0.0, w - 1.0)
+    cy = jnp.clip(jnp.round((gy - grid.origin[1]) / grid.resolution - 0.5), 0.0, h - 1.0)
+    Ax = (cx[:, None] == jnp.arange(w, dtype=jnp.float32)[None, :]).astype(jnp.float32)
+    Ay = (cy[:, None] == jnp.arange(h, dtype=jnp.float32)[None, :]).astype(jnp.float32)
+    return Ax, Ay
+
+
+def lattice_resample(info, grid, grid_samples, domain):
+    """Gather-free nearest-cell resampling of a per-cell map (H, W) onto the
+    SEPARABLE sample lattice of ``domain`` -> (N,) in lattice (x-major)
+    order. The resampling matrices are one-hot per axis, so this is two
+    (ns, n)-scale matmuls with wide (~ns) outputs — full MXU tiles, unlike
+    narrow K-wide contractions (see engine._phik_from_gmm_fn note)."""
+    nsx, nsy = grid_samples
+    Ax, Ay = sampling_one_hots(grid, grid_samples, domain)
+    _E = jax.lax.Precision.HIGHEST
+    sampled = jnp.matmul(
+        jnp.matmul(Ax, info.T, precision=_E), Ay.T, precision=_E
+    )  # (nsx, nsy): sampled[ix, iy] = info[r(iy), c(ix)]
+    return sampled.reshape(nsx * nsy)
+
+
 def gmm_target_values(points, gmm: GaussianMixture, free_mask=None):
     """phi values at sample points for a GMM target, normalized over the
     (optionally masked) free space."""

@@ -52,13 +52,18 @@ def run_point(S, mesh, iters=20):
     ).astype(np.float32)
     sc = engine.init_scenarios(x0)
     world = engine.prepare_world(grids)
+    gmm = engine.shard_scenarios(gmm)  # no-op single-process; per-host slice under jax.distributed
+
+    def force(u):
+        # multi-process-safe completion: jitted sum -> replicated scalar
+        return float(jax.jit(jnp.sum)(u))
 
     sc, u, d = engine.replan_refresh(sc, gmm, domain, world)
-    float(u.sum())  # force completion (block_until_ready is async here)
+    force(u)  # force completion (block_until_ready is async on this attachment)
     t0 = time.perf_counter()
     for _ in range(iters):
         sc, u, d = engine.replan_refresh(sc, gmm, domain, world)
-    float(u.sum())
+    force(u)
     dt = (time.perf_counter() - t0) / iters
     return S / dt
 
@@ -68,6 +73,12 @@ def main():
     ap.add_argument("--batches", default="512,1024,2048,4096")
     ap.add_argument("--multihost", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    # explicit multi-process launch (CPU or non-pod): run one copy of this
+    # script per "host" with the same --coordinator/--nproc and its --pid
+    ap.add_argument("--coordinator", default=None, help="host:port")
+    ap.add_argument("--nproc", type=int, default=None)
+    ap.add_argument("--pid", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
     import jax
@@ -77,7 +88,8 @@ def main():
     if args.multihost:
         from ergodic_exploration_tpu.parallel import initialize_multihost
 
-        initialize_multihost()
+        initialize_multihost(coordinator_address=args.coordinator,
+                             num_processes=args.nproc, process_id=args.pid)
 
     from ergodic_exploration_tpu.engine import make_scenario_mesh
 
@@ -85,16 +97,17 @@ def main():
     mesh = make_scenario_mesh() if n_dev > 1 else None
     base = None
     for S in [int(s) for s in args.batches.split(",")]:
-        sps = run_point(S, mesh)
+        sps = run_point(S, mesh, iters=args.iters)
         if base is None:
             base = sps
-        print(json.dumps({
-            "batch": S,
-            "devices": n_dev,
-            "hosts": jax.process_count(),
-            "solves_per_s": round(sps, 1),
-            "efficiency_vs_first_point": round(sps / base, 3),
-        }), flush=True)
+        if jax.process_index() == 0:
+            print(json.dumps({
+                "batch": S,
+                "devices": n_dev,
+                "hosts": jax.process_count(),
+                "solves_per_s": round(sps, 1),
+                "efficiency_vs_first_point": round(sps / base, 3),
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -93,6 +93,37 @@ def test_raycast_batched_under_vmap_and_jit():
         np.testing.assert_array_equal(np.asarray(out.data[i]), np.asarray(ref.data))
 
 
+def test_explore_mapping_fused_matches_host_loop():
+    """The fully on-device config-4 loop (one lax.scan: reveal -> MI refresh
+    -> EDT world -> ticks) == the host-looped explore_mapping, same sensor."""
+    from ergodic_exploration_tpu.config import default_config
+    from ergodic_exploration_tpu.engine import Engine
+
+    cfg = default_config("cart").replace(
+        num_basis=6, horizon=8, buffer_capacity=32, grid_samples=(20, 20))
+    S = 2
+    data = np.zeros((S, 30, 30), np.float32)
+    data[:, 13:16, 5:22] = 1.0
+    truth = GridMap(jnp.asarray(data), jnp.zeros((S, 2), jnp.float32),
+                    jnp.full((S,), 0.05, jnp.float32))
+    x0 = np.array([[0.4, 0.4, 0.5], [1.1, 1.1, -2.0]], np.float32)
+
+    eng = Engine(cfg)
+    sc_f, belief_f, cov_f, traj_f = eng.explore_mapping_fused(
+        eng.init_scenarios(x0), truth, n_refreshes=3, refresh_every=5,
+        sensor_range=0.5)
+    out_h, belief_h, cov_h = Engine(cfg).explore_mapping(
+        Engine(cfg).init_scenarios(x0), truth, n_ticks=15, refresh_every=5,
+        sensor_range=0.5, sensor_model="raycast")
+
+    assert traj_f.shape == (3, 5, S, 3)
+    np.testing.assert_array_equal(np.asarray(belief_f.data), np.asarray(belief_h.data))
+    np.testing.assert_allclose(np.asarray(cov_f), np.asarray(cov_h), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(traj_f[-1, -1]), np.asarray(out_h.trajectory[-1]),
+        rtol=2e-4, atol=2e-5)
+
+
 def test_explore_mapping_raycast_keeps_hidden_side_unknown():
     """End-to-end config 4: with the ray-cast sensor, a robot on the left of
     a full-height wall must NOT reveal the right side."""

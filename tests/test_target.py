@@ -123,9 +123,11 @@ def test_phik_separable_matches_gather_path():
 
 
 def test_engine_phik_from_grid_uses_separable_and_matches():
-    """Engine.phik_from_grid (batched) == per-scenario gather oracle."""
+    """Engine.phik_from_grid (batched) == per-scenario gather oracle, on
+    BOTH the general separable path and the shared-domain dense path."""
     from ergodic_exploration_tpu.config import default_config
     from ergodic_exploration_tpu.engine import Engine
+    from ergodic_exploration_tpu.grid import Domain
 
     cfg = default_config("cart").replace(num_basis=6, grid_samples=(20, 20))
     engine = Engine(cfg)
@@ -138,10 +140,22 @@ def test_engine_phik_from_grid_uses_separable_and_matches():
     grids = GridMap(jnp.asarray(data), jnp.zeros((S, 2), jnp.float32),
                     jnp.full((S,), 0.1, jnp.float32))
     got = np.asarray(engine.phik_from_grid(grids, sensor_radius_cells=1))
+    dom = Domain.create(0.0, 0.0, 1.5, 1.5)  # the maps' shared extent
+    got_dense = np.asarray(engine.phik_from_grid(grids, sensor_radius_cells=1,
+                                                 domain=dom))
     for i in range(S):
         g1 = jax.tree.map(lambda a: a[i], grids)
         want = np.asarray(_phik_gather_path(g1, 6, (20, 20), 1))
         np.testing.assert_allclose(got[i], want, atol=3e-5)
+        np.testing.assert_allclose(got_dense[i], want, atol=3e-5)
+
+    # degenerate fully-occupied maps: dense path falls back to uniform too
+    g_occ = GridMap(jnp.ones((S, 15, 15)), jnp.zeros((S, 2), jnp.float32),
+                    jnp.full((S,), 0.1, jnp.float32))
+    p_sep = np.asarray(engine.phik_from_grid(g_occ))
+    p_den = np.asarray(engine.phik_from_grid(g_occ, domain=dom))
+    np.testing.assert_allclose(p_den, p_sep, atol=3e-5)
+    assert abs(p_den[0, 0, 0]) > 0.1
 
 
 def test_box_blur_spreads_information():

@@ -72,22 +72,42 @@ def main():
         lambda g: g._replace(weights=g.weights + 0 * refresh(g, None)[:, 0, 0, None]),
         (gmm,))
 
-    # ---- stage: MI refresh (config 4, gather-free separable path) ----
+    # ---- XLA-dense refresh (use_pallas=False path) for comparison ----
+    from ergodic_exploration_tpu.engine import Engine
+
+    engine_xla = Engine(cfg.replace(use_pallas=False))
+
+    def refresh_xla(g, mask):
+        return engine_xla._phik_from_gmm_fn(g, domain, mask)
+
+    results["refresh_xla_masked"] = chain(
+        "phik refresh (XLA dense, masked)",
+        lambda g, m: (g._replace(weights=g.weights + 0 * refresh_xla(g, m)[:, 0, 0, None]), m)[0],
+        (gmm, world.free_mask))
+
+    # ---- stage: MI refresh (config 4, gather-free paths) ----
     from bench import build_case_mi
 
-    _, sc_mi, grids_mi, world_mi = build_case_mi(S)
+    _, sc_mi, grids_mi, world_mi, dom_mi = build_case_mi(S)
 
-    def mi_refresh(g):
+    def mi_refresh_sep(g):
         pk_ = jax.vmap(lambda g1: engine._phik_grid_one(g1, 3))(g)
         return g._replace(resolution=g.resolution + 0 * pk_[:, 0, 0])
 
-    results["refresh_mi"] = chain("MI refresh (separable, r=3)", mi_refresh,
-                                  (grids_mi,))
+    results["refresh_mi_sep"] = chain("MI refresh (separable, r=3)",
+                                      mi_refresh_sep, (grids_mi,))
+
+    def mi_refresh_dense(g):
+        pk_ = engine._phik_grid_batch_dense_fn(g, dom_mi, 3)
+        return g._replace(resolution=g.resolution + 0 * pk_[:, 0, 0])
+
+    results["refresh_mi_dense"] = chain("MI refresh (dense resample, r=3)",
+                                        mi_refresh_dense, (grids_mi,))
 
     def tick_mi(sc_, g_, w_):
-        return engine._refresh_mi_and_replan_fn(sc_, g_, w_, 3)[0]
+        return engine._refresh_mi_and_replan_fn(sc_, g_, w_, 3, dom_mi)[0]
 
-    results["tick_mi"] = chain("full tick (MI refresh)", tick_mi,
+    results["tick_mi"] = chain("full tick (MI dense refresh)", tick_mi,
                                (sc_mi, grids_mi, world_mi))
 
     # ---- stage: patch extraction ----
