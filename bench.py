@@ -33,7 +33,8 @@ def build_case(S: int, seed: int = 0):
     # - use_pallas: fused target refresh (2.0 ms vs 3.7 ms XLA, 2.2e-6 match)
     # - use_fused_solve: fused descent core (7.5 ms vs 11.0 ms full step,
     #   |delta u| <= 2.4e-5, zero collision-code mismatches at S=4096)
-    cfg = default_config("cart").replace(use_fused_solve=True, shared_maps=True)
+    cfg = default_config("cart").replace(
+        use_fused_solve=True, shared_maps=True, shared_history_draw=True)
     assert cfg.horizon == 20 and cfg.grid_samples == (100, 100)
     engine = Engine(cfg)
     domain = Domain.create(0.0, 0.0, 5.0, 5.0)

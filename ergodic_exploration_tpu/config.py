@@ -102,15 +102,27 @@ class EngineConfig:
     # hundred ticks). The reference likewise samples a bounded batch.
     buffer_batch: Optional[int] = 100  # None: use all valid entries
     history: str = "ring"  # "ring" (reference parity) | "accumulate" (O(K^2) fast path)
+    # ONE history-batch index draw shared by every scenario per tick (the
+    # draw stays uniform per scenario — scenarios tick together, so their
+    # buffer counts are equal; only CROSS-scenario sampling correlation is
+    # introduced, which independent solves never observe). Lets the batched
+    # compaction run as one shared-one-hot GEMM instead of per-scenario
+    # one-hot machinery — measured ~1.2 ms/tick at S=4096 on v5e. Engine
+    # init gives all scenarios the same RNG key under this flag, so the
+    # vmapped and fused paths stay bit-identical.
+    shared_history_draw: bool = False
 
     # --- collision / barrier (L1 world + costs) ---
     # Side length (cells) of the local distance-field window used for ALL
     # per-tick map queries (barrier knots, validation, DWA). Queries happen
     # AT trajectory positions (d_safe only thresholds the queried values),
     # so the window must cover the saturated rollout reach
-    # H * dt * v_max (~0.4 m cart / ~0.6 m omni at defaults) plus margin;
-    # map access outside the patch clamps to its edge. See ops/patch.py.
-    patch_cells: int = 32
+    # H * dt * v_max (~0.4 m = 8 cells cart / ~0.6 m omni at defaults) plus
+    # bilinear support and margin; map access outside the patch clamps to
+    # its edge. See ops/patch.py. 24 cells = a +-0.6 m window (50% margin
+    # over the cart's reach); extraction cost scales ~P^2 (round-3 ablation:
+    # 32 -> 24 saves 0.32 ms/tick at S=4096).
+    patch_cells: int = 24
     # Central sub-window of the patch used for the safety stage's queries
     # (validation + DWA). Must cover the vel-limited reachable set of one
     # validation/DWA rollout (~vel_lim * horizon * dt + a cell of rounding;

@@ -214,7 +214,13 @@ class Engine:
             vb0 = jnp.zeros((S, 3), dtype=jnp.float32)
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        keys = jax.random.split(rng, S)  # process-independent
+        if self.config.shared_history_draw:
+            # one key for ALL scenarios: per-scenario history draws are then
+            # identical each tick, which the fused path exploits as a single
+            # shared-one-hot compaction GEMM (see config.shared_history_draw)
+            keys = jax.vmap(lambda _: rng)(jnp.arange(S))
+        else:
+            keys = jax.random.split(rng, S)  # process-independent
         if self.mesh is not None and jax.process_count() > 1:
             from ergodic_exploration_tpu.parallel import process_scenario_slice
 

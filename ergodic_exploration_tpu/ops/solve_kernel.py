@@ -106,12 +106,21 @@ def _wrap(th):
     return jnp.pi - jnp.mod(jnp.pi - th, 2.0 * jnp.pi)
 
 
-def _make_kernel(sp: SolveParams):
+def _make_kernel(sp: SolveParams, sps: "SafetyParams | None" = None):
+    """Fused descent-step kernel; with ``sps`` the SAFETY stage (emitted-
+    control validation + DWA sweep) runs IN THE SAME PROGRAM on the static
+    central crop of the already-VMEM-resident patch — no second kernel
+    launch, no crop staging through HBM, and u0 never round-trips
+    (round-3 ablation: the separate safety stage cost ~1.2 ms/tick)."""
     H, K, nu, P, nb = sp.H, sp.K, sp.nu, sp.P, sp.nb
     dt = float(sp.dt)
 
     def kernel(x_r, u_r, hist_r, nh_r, phik_r, pd_r, pgx_r, pgy_r,
-               ps_r, po_r, pr_r, do_r, dl_r, cks_r, un_r, met_r, bc_r, cko_r):
+               ps_r, po_r, pr_r, do_r, dl_r, cks_r, *rest):
+        if sps is None:
+            (un_r, met_r, bc_r, cko_r) = rest
+        else:
+            (vb_r, un_r, met_r, bc_r, cko_r, code_r, udwa_r, feas_r) = rest
         T = x_r.shape[-1]
         # basis constants built in-kernel from iota (pallas kernels cannot
         # capture array constants): Sobolev weights Lambda_k and the
@@ -293,6 +302,21 @@ def _make_kernel(sp: SolveParams):
             cnx[:, None, :] * cny[None, :, :] / hk
         ).reshape(K * K, T)
 
+        # ---- 8. merged safety stage (validation + DWA) on the static
+        # central crop of the SAME VMEM-resident patch ----
+        if sps is not None:
+            o = (P - sps.Pc) // 2  # PatchField.center_crop offset
+            u0 = [u_new[0][i] for i in range(nu)]
+            code, udwa, feasible = _safety_ops(
+                sps, x_r, vb_r, u0,
+                pd_r[o:o + sps.Pc, o:o + sps.Pc, :],
+                ps_r[0, :] + float(o), ps_r[1, :] + float(o),
+                po_r, pr_r, do_r, dl_r)
+            code_r[0, :] = code
+            feas_r[0, :] = feasible.astype(jnp.int32)
+            for i in range(nu):
+                udwa_r[i, :] = udwa[i]
+
     return kernel
 
 
@@ -350,6 +374,59 @@ def fused_solve(sp: SolveParams, x, U, hist, nh, phik, pd, pgx, pgy,
       dorigin, dlen, cks)
 
 
+def fused_solve_safety(sp: SolveParams, sps: "SafetyParams", x, U, hist, nh,
+                       phik, pd, pgx, pgy, pstart, porigin, pres, dorigin,
+                       dlen, cks, vb, tile: int = 128, interpret=None):
+    """:func:`fused_solve` + the SAFETY stage (validation + DWA) in ONE
+    pallas program: the safety window is the static central crop of the
+    VMEM-resident patch, u0 feeds the validator in-register, and the
+    second kernel launch + crop staging disappear. Extra operand: vb (3,S).
+    Extra outputs: code (1,S) i32, u_dwa (nu,S), feasible (1,S) i32.
+    Requires sps.Pc <= sp.P (crop inside the patch)."""
+    if sps.Pc > sp.P:
+        raise ValueError(f"safety crop {sps.Pc} exceeds patch {sp.P}")
+    S = x.shape[-1]
+    while S % tile != 0:
+        tile //= 2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, K, nu, P = sp.H, sp.K, sp.nu, sp.P
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(dims + (tile,),
+                            (lambda i, _nd=nd: (0,) * _nd + (i,)),
+                            memory_space=pltpu.VMEM)
+
+    hist_spec = spec(2, sp.nb) if sp.nb else spec(K * K)
+    return pl.pallas_call(
+        _make_kernel(sp, sps),
+        grid=(S // tile,),
+        in_specs=[
+            spec(3), spec(H, nu), hist_spec, spec(1), spec(K * K),
+            spec(P, P), spec(P, P), spec(P, P),
+            spec(2), spec(2), spec(1), spec(2), spec(2), spec(K * K),
+            spec(3),
+        ],
+        out_specs=(spec(H, nu), spec(1), spec(1), spec(K * K),
+                   spec(1), spec(nu), spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, nu, S), jnp.float32),
+            jax.ShapeDtypeStruct((1, S), jnp.float32),
+            jax.ShapeDtypeStruct((1, S), jnp.float32),
+            jax.ShapeDtypeStruct((K * K, S), jnp.float32),
+            jax.ShapeDtypeStruct((1, S), jnp.int32),
+            jax.ShapeDtypeStruct((nu, S), jnp.float32),
+            jax.ShapeDtypeStruct((1, S), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(x, U, hist, nh, phik, pd, pgx, pgy, pstart, porigin, pres,
+      dorigin, dlen, cks, vb)
+
+
 def replan_batched_fused(cfg, model, state, x, vb, phik, world):
     """One batched replan tick with the fused kernel as the descent core —
     drop-in for ``jax.vmap(ErgodicController.step)`` (same signature modulo
@@ -383,7 +460,25 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
     rng, sub = split[:, 0], split[:, 1]
 
     nb = cfg.buffer_batch if (cfg.history == "ring" and cfg.buffer_batch) else 0
-    if nb:
+    if nb and cfg.shared_history_draw:
+        # All scenarios share ONE index draw (engine init gives them one
+        # RNG key; they tick together so counts are equal): the compaction
+        # collapses to a single shared (cap, nb) one-hot against the whole
+        # (S, 2, cap) buffer — one batched GEMM instead of per-scenario
+        # one-hot machinery (~1.2 ms/tick at S=4096). Bit-identical to the
+        # vmapped per-scenario draws under the shared key.
+        from ergodic_exploration_tpu.ops.buffer import uniform01
+
+        cap = state.buffer.states.shape[-1]  # batched leaves: (S, 2, cap)
+        count0 = state.buffer.count[0]
+        u = uniform01(jax.tree.map(lambda a: a[0], sub), nb)
+        idx = jnp.floor(u * jnp.maximum(count0, 1).astype(u.dtype)).astype(jnp.int32)
+        onehot = (idx[None, :] == jnp.arange(cap)[:, None]).astype(jnp.float32)
+        s_all = jnp.matmul(state.buffer.states, onehot,
+                           precision=jax.lax.Precision.HIGHEST)  # (S, 2, nb)
+        hist_op = jnp.transpose(s_all, (1, 2, 0))  # (2, nb, S)
+        n_hist = jnp.where(state.buffer.count > 0, jnp.float32(nb), 0.0)
+    elif nb:
         s_buf, n_hist = jax.vmap(lambda b, sb: b.sample_states(nb, sb))(
             state.buffer, sub
         )  # (S, nb, 2), (S,)
@@ -411,8 +506,7 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
         params_from_config(cfg), P=patches.dist.shape[-1], nb=nb
     )
     t3 = lambda a: jnp.transpose(a, (1, 2, 0))
-    Unew_t, met, bc, cko = fused_solve(
-        sp,
+    core_ops = (
         x.T,
         t3(state.U),
         hist_op,
@@ -428,25 +522,24 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
         domain.lengths.T,
         state.ck_sum.reshape(S, K * K).T,
     )
-    U_new = jnp.transpose(Unew_t, (2, 0, 1))  # (S, H, nu)
-    u0 = U_new[:, 0]
-
-    # ---- safety: validate u0, DWA fallback (fused kernel, cropped window) ----
     if cfg.enable_safety:
-        crops = jax.vmap(lambda p: p.center_crop(cfg.safety_patch_cells))(patches)
-        sps = safety_params_from_config(cfg, crops.dist.shape[-1])
-        code_t, udwa_t, feas_t = fused_safety(
-            sps, x.T, vb.T, u0.T,
-            t3(crops.dist), crops.start.T.astype(jnp.float32),
-            crops.origin.T, crops.resolution[None, :],
-            domain.origin.T, domain.lengths.T,
-        )
+        # ONE pallas program: descent step + validation + DWA; the safety
+        # window is the central crop of the in-kernel patch (center_crop
+        # clamps to the patch size, matching PatchField.center_crop)
+        sps = safety_params_from_config(cfg, min(cfg.safety_patch_cells, sp.P))
+        Unew_t, met, bc, cko, code_t, udwa_t, feas_t = fused_solve_safety(
+            sp, sps, *core_ops, vb.T)
+        U_new = jnp.transpose(Unew_t, (2, 0, 1))  # (S, H, nu)
+        u0 = U_new[:, 0]
         code = code_t[0]
         u_dwa = udwa_t.T
         feasible = feas_t[0].astype(bool)
         use_dwa = code >= CRASH
         u_cmd = jnp.where(use_dwa[:, None], u_dwa, u0)
     else:
+        Unew_t, met, bc, cko = fused_solve(sp, *core_ops)
+        U_new = jnp.transpose(Unew_t, (2, 0, 1))
+        u0 = U_new[:, 0]
         code = jnp.zeros((S,), dtype=jnp.int32)
         feasible = jnp.ones((S,), dtype=bool)
         use_dwa = jnp.zeros((S,), dtype=bool)
@@ -549,6 +642,129 @@ def safety_params_from_config(cfg, crop_cells: int) -> SafetyParams:
 _INFEASIBLE = 1.0e9  # keep in sync with ops/dwa.py
 
 
+def _safety_ops(sp: SafetyParams, x_r, vb_r, u0, pd_c, psx, psy,
+                po_r, pr_r, do_r, dl_r):
+    """Validation + DWA math on (..., T) tiles — shared by the standalone
+    safety kernel and the merged solve+safety kernel. ``pd_c`` is the
+    (Pc, Pc, T) clearance window with start (psx, psy); ``u0`` is a list of
+    nu (T,) control components. Returns (code (T,) i32, udwa list, feas)."""
+    nu, Pc = sp.nu, sp.Pc
+    nvx, nvy, nw = sp.samples
+    C = nvx * nvy * nw
+    T = x_r.shape[-1]
+    x0, y0, th0 = x_r[0, :], x_r[1, :], x_r[2, :]
+    c0, s0 = jnp.cos(th0), jnp.sin(th0)
+    cells = jax.lax.broadcasted_iota(jnp.int32, (Pc, 1), 0).astype(jnp.float32)
+    res = pr_r[0, :]
+    Lx, Ly = dl_r[0, :], dl_r[1, :]
+
+    def twist(u):  # u: tuple/list of nu (..., T) arrays
+        vx = sum(sp.mx[i] * u[i] for i in range(nu))
+        vy = sum(sp.my[i] * u[i] for i in range(nu))
+        w = sum(sp.mw[i] * u[i] for i in range(nu))
+        return vx, vy, w
+
+    def arc(vx, vy, w, t):
+        """Exact constant-twist pose at time t (integrator.py
+        constant_twist_poses semantics, incl. the small-w series)."""
+        wt = w * t
+        s, c = jnp.sin(wt), jnp.cos(wt)
+        small = jnp.abs(w) < 1e-6
+        w_safe = jnp.where(small, 1.0, w)
+        a = jnp.where(small, t * (1.0 - wt * wt / 6.0), s / w_safe)
+        b = jnp.where(small, w * t * t * 0.5, (1.0 - c) / w_safe)
+        dxb = vx * a - vy * b
+        dyb = vx * b + vy * a
+        return x0 + c0 * dxb - s0 * dyb, y0 + s0 * dxb + c0 * dyb
+
+    def pose_code(px, py):
+        """Collision code at a position (ops/collision.py check_pose via
+        the cropped window's nearest-cell query)."""
+        fx = (px - po_r[0, :]) / res - 0.5 - psx
+        fy = (py - po_r[1, :]) / res - 0.5 - psy
+        ox = jnp.round(jnp.clip(fx, 0.0, Pc - 1.001))[None, :] == cells  # (Pc, T)
+        oy = jnp.round(jnp.clip(fy, 0.0, Pc - 1.001))[None, :] == cells
+        row = jnp.sum(pd_c[:, :, :] * ox.astype(jnp.float32)[None, :, :], axis=1)
+        clearance = jnp.sum(oy.astype(jnp.float32) * row, axis=0)  # (T,)
+        d = clearance - sp.b_radius
+        relx = px - do_r[0, :]
+        rely = py - do_r[1, :]
+        inside = (relx >= 0.0) & (relx <= Lx) & (rely >= 0.0) & (rely <= Ly)
+        crash = (~inside) | (d <= 0.0)
+        warn = d < sp.d_safe
+        return jnp.where(crash, 2, jnp.where(warn, 1, 0)).astype(jnp.int32)
+
+    # ---- validation of u0 (collision.validate_control) ----
+    vx0, vy0, w0 = twist(u0)
+    code = jnp.zeros((T,), jnp.int32)
+    for t in range(1, sp.val_horizon + 1):
+        px, py = arc(vx0, vy0, w0, sp.val_dt * t)
+        code = jnp.maximum(code, pose_code(px, py))
+
+    # ---- DWA candidate sweep (ops/dwa.py), VECTORIZED over the C
+    # candidates (leading axis) so only steps and patch rows unroll ----
+    def axis_samples(center, acc, vmax, n):
+        if n == 1:
+            return [jnp.zeros((T,), jnp.float32)]
+        lo = jnp.clip(center - acc * sp.dwa_dt, -vmax, vmax)
+        hi = jnp.clip(center + acc * sp.dwa_dt, -vmax, vmax)
+        return [lo + (hi - lo) * (i / (n - 1)) for i in range(n)]
+
+    vxs = axis_samples(vb_r[0, :], sp.acc_lim[0], sp.vel_lim[0], nvx)
+    vys = axis_samples(vb_r[1, :], sp.acc_lim[1], sp.vel_lim[1], nvy)
+    ws = axis_samples(vb_r[2, :], sp.acc_lim[2], sp.vel_lim[2], nw)
+    # meshgrid(indexing="ij") flatten order: vx outer, vy mid, omega inner
+    cvx = jnp.stack([vx for vx in vxs for _ in vys for _ in ws])  # (C, T)
+    cvy = jnp.stack([vy for _ in vxs for vy in vys for _ in ws])
+    cw = jnp.stack([w for _ in vxs for _ in vys for w in ws])
+    u_c = [
+        sp.finv[i][0] * cvx + sp.finv[i][1] * cvy + sp.finv[i][2] * cw
+        for i in range(nu)
+    ]  # nu x (C, T)
+    rvx, rvy, rw = twist(u_c)  # realized twists (C, T)
+
+    crash = jnp.zeros((C, T), jnp.bool_)
+    for t in range(1, sp.dwa_horizon + 1):
+        px, py = arc(rvx, rvy, rw, sp.dwa_dt * t)  # (C, T)
+        fx = (px - po_r[0, :][None, :]) / res[None, :] - 0.5 - psx[None, :]
+        fy = (py - po_r[1, :][None, :]) / res[None, :] - 0.5 - psy[None, :]
+        ox = (jnp.round(jnp.clip(fx, 0.0, Pc - 1.001))[:, None, :]
+              == cells[None, :, :]).astype(jnp.float32)  # (C, Pc, T)
+        oy = (jnp.round(jnp.clip(fy, 0.0, Pc - 1.001))[:, None, :]
+              == cells[None, :, :]).astype(jnp.float32)
+        clearance = jnp.zeros((C, T), jnp.float32)
+        for a in range(Pc):  # clearance = sum_a oy[a] * (pd[a] @ ox)
+            row = jnp.sum(pd_c[a, :, :][None, :, :] * ox, axis=1)  # (C, T)
+            clearance = clearance + oy[:, a, :] * row
+        inside = ((px >= do_r[0, :][None, :]) & (px <= (do_r[0, :] + Lx)[None, :])
+                  & (py >= do_r[1, :][None, :]) & (py <= (do_r[1, :] + Ly)[None, :]))
+        crash = crash | (~inside) | (clearance - sp.b_radius <= 0.0)
+
+    if sp.cost_space == "control":
+        # reference cost (SURVEY.md A.6): ||u_cand - u0||^2 in wheel space
+        cost = jnp.zeros_like(rvx)
+        for i in range(nu):
+            du = u_c[i] - u0[i][None, :]
+            cost = cost + du * du
+    else:  # "twist"
+        cost = ((rvx - vx0[None, :]) ** 2 + (rvy - vy0[None, :]) ** 2
+                + (rw - w0[None, :]) ** 2)
+    cost = jnp.where(crash, _INFEASIBLE, cost)  # (C, T)
+    best_cost = jnp.min(cost, axis=0)  # (T,)
+    # first-argmin pick (jnp.argmin parity): earliest candidate achieving
+    # the min, selected with a one-hot built from a running prefix mask
+    is_min = cost == best_cost[None, :]
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0).astype(jnp.float32)
+    first = jnp.min(jnp.where(is_min, cidx, float(C)), axis=0)  # (T,)
+    onehot = (cidx == first[None, :]).astype(jnp.float32)  # (C, T)
+    feasible = best_cost < _INFEASIBLE
+    udwa = [
+        jnp.where(feasible, jnp.sum(onehot * u_c[i], axis=0), 0.0)
+        for i in range(nu)
+    ]
+    return code, udwa, feasible
+
+
 def _make_safety_kernel(sp: SafetyParams):
     nu, Pc = sp.nu, sp.Pc
     nvx, nvy, nw = sp.samples
@@ -556,122 +772,16 @@ def _make_safety_kernel(sp: SafetyParams):
 
     def kernel(x_r, vb_r, u0_r, pd_r, ps_r, po_r, pr_r, do_r, dl_r,
                code_r, udwa_r, feas_r):
-        T = x_r.shape[-1]
-        x0, y0, th0 = x_r[0, :], x_r[1, :], x_r[2, :]
-        c0, s0 = jnp.cos(th0), jnp.sin(th0)
-        cells = jax.lax.broadcasted_iota(jnp.int32, (Pc, 1), 0).astype(jnp.float32)
-        res = pr_r[0, :]
-        Lx, Ly = dl_r[0, :], dl_r[1, :]
-
-        def twist(u):  # u: tuple/list of nu (..., T) arrays
-            vx = sum(sp.mx[i] * u[i] for i in range(nu))
-            vy = sum(sp.my[i] * u[i] for i in range(nu))
-            w = sum(sp.mw[i] * u[i] for i in range(nu))
-            return vx, vy, w
-
-        def arc(vx, vy, w, t):
-            """Exact constant-twist pose at time t (integrator.py
-            constant_twist_poses semantics, incl. the small-w series)."""
-            wt = w * t
-            s, c = jnp.sin(wt), jnp.cos(wt)
-            small = jnp.abs(w) < 1e-6
-            w_safe = jnp.where(small, 1.0, w)
-            a = jnp.where(small, t * (1.0 - wt * wt / 6.0), s / w_safe)
-            b = jnp.where(small, w * t * t * 0.5, (1.0 - c) / w_safe)
-            dxb = vx * a - vy * b
-            dyb = vx * b + vy * a
-            return x0 + c0 * dxb - s0 * dyb, y0 + s0 * dxb + c0 * dyb
-
-        def pose_code(px, py):
-            """Collision code at a position (ops/collision.py check_pose via
-            the cropped window's nearest-cell query)."""
-            fx = (px - po_r[0, :]) / res - 0.5 - ps_r[0, :]
-            fy = (py - po_r[1, :]) / res - 0.5 - ps_r[1, :]
-            ox = jnp.round(jnp.clip(fx, 0.0, Pc - 1.001))[None, :] == cells  # (Pc, T)
-            oy = jnp.round(jnp.clip(fy, 0.0, Pc - 1.001))[None, :] == cells
-            row = jnp.sum(pd_r[:, :, :] * ox.astype(jnp.float32)[None, :, :], axis=1)
-            clearance = jnp.sum(oy.astype(jnp.float32) * row, axis=0)  # (T,)
-            d = clearance - sp.b_radius
-            relx = px - do_r[0, :]
-            rely = py - do_r[1, :]
-            inside = (relx >= 0.0) & (relx <= Lx) & (rely >= 0.0) & (rely <= Ly)
-            crash = (~inside) | (d <= 0.0)
-            warn = d < sp.d_safe
-            return jnp.where(crash, 2, jnp.where(warn, 1, 0)).astype(jnp.int32)
-
-        # ---- validation of u0 (collision.validate_control) ----
         u0 = [u0_r[i, :] for i in range(nu)]
-        vx0, vy0, w0 = twist(u0)
-        code = jnp.zeros((T,), jnp.int32)
-        for t in range(1, sp.val_horizon + 1):
-            px, py = arc(vx0, vy0, w0, sp.val_dt * t)
-            code = jnp.maximum(code, pose_code(px, py))
+        code, udwa, feasible = _safety_ops(
+            sp, x_r, vb_r, u0, pd_r[:, :, :], ps_r[0, :], ps_r[1, :],
+            po_r, pr_r, do_r, dl_r)
         code_r[0, :] = code
-
-        # ---- DWA candidate sweep (ops/dwa.py), VECTORIZED over the C
-        # candidates (leading axis) so only steps and patch rows unroll ----
-        def axis_samples(center, acc, vmax, n):
-            if n == 1:
-                return [jnp.zeros((T,), jnp.float32)]
-            lo = jnp.clip(center - acc * sp.dwa_dt, -vmax, vmax)
-            hi = jnp.clip(center + acc * sp.dwa_dt, -vmax, vmax)
-            return [lo + (hi - lo) * (i / (n - 1)) for i in range(n)]
-
-        vxs = axis_samples(vb_r[0, :], sp.acc_lim[0], sp.vel_lim[0], nvx)
-        vys = axis_samples(vb_r[1, :], sp.acc_lim[1], sp.vel_lim[1], nvy)
-        ws = axis_samples(vb_r[2, :], sp.acc_lim[2], sp.vel_lim[2], nw)
-        # meshgrid(indexing="ij") flatten order: vx outer, vy mid, omega inner
-        cvx = jnp.stack([vx for vx in vxs for _ in vys for _ in ws])  # (C, T)
-        cvy = jnp.stack([vy for _ in vxs for vy in vys for _ in ws])
-        cw = jnp.stack([w for _ in vxs for _ in vys for w in ws])
-        u_c = [
-            sp.finv[i][0] * cvx + sp.finv[i][1] * cvy + sp.finv[i][2] * cw
-            for i in range(nu)
-        ]  # nu x (C, T)
-        rvx, rvy, rw = twist(u_c)  # realized twists (C, T)
-
-        crash = jnp.zeros((C, T), jnp.bool_)
-        for t in range(1, sp.dwa_horizon + 1):
-            px, py = arc(rvx, rvy, rw, sp.dwa_dt * t)  # (C, T)
-            fx = (px - po_r[0, :][None, :]) / res[None, :] - 0.5 - ps_r[0, :][None, :]
-            fy = (py - po_r[1, :][None, :]) / res[None, :] - 0.5 - ps_r[1, :][None, :]
-            ox = (jnp.round(jnp.clip(fx, 0.0, Pc - 1.001))[:, None, :]
-                  == cells[None, :, :]).astype(jnp.float32)  # (C, Pc, T)
-            oy = (jnp.round(jnp.clip(fy, 0.0, Pc - 1.001))[:, None, :]
-                  == cells[None, :, :]).astype(jnp.float32)
-            clearance = jnp.zeros((C, T), jnp.float32)
-            for a in range(Pc):  # clearance = sum_a oy[a] * (pd[a] @ ox)
-                row = jnp.sum(pd_r[a, :, :][None, :, :] * ox, axis=1)  # (C, T)
-                clearance = clearance + oy[:, a, :] * row
-            inside = ((px >= do_r[0, :][None, :]) & (px <= (do_r[0, :] + Lx)[None, :])
-                      & (py >= do_r[1, :][None, :]) & (py <= (do_r[1, :] + Ly)[None, :]))
-            crash = crash | (~inside) | (clearance - sp.b_radius <= 0.0)
-
-        if sp.cost_space == "control":
-            # reference cost (SURVEY.md A.6): ||u_cand - u0||^2 in wheel space
-            cost = jnp.zeros_like(rvx)
-            for i in range(nu):
-                du = u_c[i] - u0[i][None, :]
-                cost = cost + du * du
-        else:  # "twist"
-            cost = ((rvx - vx0[None, :]) ** 2 + (rvy - vy0[None, :]) ** 2
-                    + (rw - w0[None, :]) ** 2)
-        cost = jnp.where(crash, _INFEASIBLE, cost)  # (C, T)
-        best_cost = jnp.min(cost, axis=0)  # (T,)
-        # first-argmin pick (jnp.argmin parity): earliest candidate achieving
-        # the min, selected with a one-hot built from a running prefix mask
-        is_min = cost == best_cost[None, :]
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0).astype(jnp.float32)
-        first = jnp.min(jnp.where(is_min, cidx, float(C)), axis=0)  # (T,)
-        onehot = (cidx == first[None, :]).astype(jnp.float32)  # (C, T)
-        feasible = best_cost < _INFEASIBLE
         feas_r[0, :] = feasible.astype(jnp.int32)
         for i in range(nu):
-            u_i = jnp.sum(onehot * u_c[i], axis=0)
-            udwa_r[i, :] = jnp.where(feasible, u_i, 0.0)
+            udwa_r[i, :] = udwa[i]
 
     return kernel, C
-
 
 def fused_safety(sp: SafetyParams, x, vb, u0, pd, pstart, porigin, pres,
                  dorigin, dlen, tile: int = 128, interpret=None):

@@ -89,6 +89,7 @@ _SCALAR_FIELD_SAMPLES = {
     "use_pallas": (False, False),
     "use_fused_solve": (True, True),
     "shared_maps": (True, True),
+    "shared_history_draw": (True, True),
     "scan_unroll": (4, 4),
 }
 

@@ -78,6 +78,31 @@ def test_fused_matches_vmapped_controller(model, history):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_fused_shared_history_draw_matches_vmapped():
+    """shared_history_draw=True: the fused path's single shared-one-hot
+    compaction GEMM must be BIT-identical to the vmapped per-scenario draws
+    (which see identical RNG keys under the flag), over multiple ticks."""
+    cfg, domain, x0, grids, gmm = _case("cart")
+    cfg = cfg.replace(shared_history_draw=True)
+    outs = {}
+    for fused in (False, True):
+        eng = Engine(cfg.replace(use_fused_solve=fused))
+        sc = eng.init_scenarios(x0)
+        phik = eng.phik_from_gmm(gmm, domain)
+        world = eng.prepare_world(grids)
+        us = []
+        for _ in range(4):
+            sc, u, diag = eng.replan(sc, phik, world)
+            us.append(np.asarray(u))
+        outs[fused] = (np.stack(us), jax.tree.map(np.asarray, sc))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], atol=5e-5)
+    np.testing.assert_allclose(outs[True][1].state.U, outs[False][1].state.U,
+                               atol=5e-5)
+    # the draw is shared but per-scenario HISTORY CONTENT differs, so
+    # controls must still differ across scenarios (no accidental collapse)
+    assert not np.allclose(outs[True][0][-1][0], outs[True][0][-1][1])
+
+
 def test_fused_empty_world_and_boundary():
     """Obstacle-free world (FAR distance field) + a start near the boundary:
     the boundary barrier path and the FAR plateau must match too."""
