@@ -167,15 +167,29 @@ def _make_kernel(sp: SolveParams, sps: "SafetyParams | None" = None):
         KTH = jnp.stack(kth)
 
         # ---- 2. cosine tables at the knots (basis.tables) ----
+        # Chebyshev recurrence cos/sin(k theta) = 2 cos(theta) {c,s}_{k-1}
+        # - {c,s}_{k-2}: 2 transcendentals per (H, T) sheet instead of
+        # 2 K — transcendental vreg-ops dominated this section (round-3
+        # kernel profile); recurrence error at K=10 is ~1e-6, far inside
+        # the 5e-5 fused-vs-vmapped parity budget.
         Lx, Ly = dl_r[0, :], dl_r[1, :]  # (T,)
         relx = KX - do_r[0, :][None, :]
         rely = KY - do_r[1, :][None, :]
-        f1 = (jnp.pi * k_c)[:, None] / Lx[None, :]  # (K, T)
+        f1 = (jnp.pi * k_c)[:, None] / Lx[None, :]  # (K, T) gradient scales
         f2 = (jnp.pi * k_c)[:, None] / Ly[None, :]
-        ax = relx[:, None, :] * f1[None, :, :]  # (H, K, T)
-        ay = rely[:, None, :] * f2[None, :, :]
-        Cx, Sx = jnp.cos(ax), jnp.sin(ax)
-        Cy, Sy = jnp.cos(ay), jnp.sin(ay)
+
+        def cheb(theta, axis):
+            """cos/sin(k*theta) for k = 0..K-1, stacked on ``axis``."""
+            c1, s1 = jnp.cos(theta), jnp.sin(theta)
+            C = [jnp.ones_like(theta), c1]
+            Sn = [jnp.zeros_like(theta), s1]
+            for _ in range(2, K):
+                C.append(2.0 * c1 * C[-1] - C[-2])
+                Sn.append(2.0 * c1 * Sn[-1] - Sn[-2])
+            return jnp.stack(C[:K], axis=axis), jnp.stack(Sn[:K], axis=axis)
+
+        Cx, Sx = cheb(relx * (jnp.pi / Lx)[None, :], 1)  # (H, K, T)
+        Cy, Sy = cheb(rely * (jnp.pi / Ly)[None, :], 1)
         hk = jnp.sqrt(Lx * Ly)[None, None, :] * sqc_c  # (K, K, T)
 
         # ---- 3. c_k over [history || rollout] (basis.coefficients) ----
@@ -189,8 +203,8 @@ def _make_kernel(sp: SolveParams, sps: "SafetyParams | None" = None):
             # stage whose per-scenario (nb, K) matmuls were dispatch-bound.
             bx = hist_r[0, :, :] - do_r[0, :][None, :]  # (nb, T)
             by = hist_r[1, :, :] - do_r[1, :][None, :]
-            Hx = jnp.cos(bx[:, None, :] * f1[None, :, :])  # (nb, K, T)
-            Hy = jnp.cos(by[:, None, :] * f2[None, :, :])
+            Hx, _ = cheb(bx * (jnp.pi / Lx)[None, :], 1)  # (nb, K, T)
+            Hy, _ = cheb(by * (jnp.pi / Ly)[None, :], 1)
             hsum = jnp.concatenate(
                 [jnp.sum(Hx[:, k1:k1 + 1, :] * Hy, axis=0) for k1 in range(K)]
             ).reshape(K, K, T)
@@ -296,8 +310,8 @@ def _make_kernel(sp: SolveParams, sps: "SafetyParams | None" = None):
         # ---- 7. running basis-sum append (controller.step step 9): the
         # accumulate-mode ck_sum gains F_k at the CURRENT pose — folded here
         # so no separate vmapped XLA stage touches (S, K, K) per tick ----
-        cnx = jnp.cos((x_r[0, :] - do_r[0, :])[None, :] * f1)  # (K, T)
-        cny = jnp.cos((x_r[1, :] - do_r[1, :])[None, :] * f2)
+        cnx, _ = cheb((x_r[0, :] - do_r[0, :]) * (jnp.pi / Lx), 0)  # (K, T)
+        cny, _ = cheb((x_r[1, :] - do_r[1, :]) * (jnp.pi / Ly), 0)
         cko_r[:, :] = cks_r[:, :] + (
             cnx[:, None, :] * cny[None, :, :] / hk
         ).reshape(K * K, T)
@@ -467,6 +481,14 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
         # (S, 2, cap) buffer — one batched GEMM instead of per-scenario
         # one-hot machinery (~1.2 ms/tick at S=4096). Bit-identical to the
         # vmapped per-scenario draws under the shared key.
+        #
+        # The history REDUCTION also runs here in XLA (cos tables + one
+        # batched (S, K, nb)@(S, nb, K) GEMM) rather than in-kernel: with
+        # the compaction GEMM already batched, the in-kernel (nb, K, T)
+        # cos tables + outer-product accumulation measured ~1.0 ms/tile-set
+        # of pure VPU transcendentals vs ~0.3 ms of MXU work out here
+        # (round-3 kernel profile). The kernel takes the precomputed
+        # (K^2, S) sums (its nb == 0 path).
         from ergodic_exploration_tpu.ops.buffer import uniform01
 
         cap = state.buffer.states.shape[-1]  # batched leaves: (S, 2, cap)
@@ -476,8 +498,24 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
         onehot = (idx[None, :] == jnp.arange(cap)[:, None]).astype(jnp.float32)
         s_all = jnp.matmul(state.buffer.states, onehot,
                            precision=jax.lax.Precision.HIGHEST)  # (S, 2, nb)
-        hist_op = jnp.transpose(s_all, (1, 2, 0))  # (2, nb, S)
+        s_buf = jnp.transpose(s_all, (0, 2, 1))  # (S, nb, 2)
         n_hist = jnp.where(state.buffer.count > 0, jnp.float32(nb), 0.0)
+
+        def hist_red(sb, w, dom):
+            hkl = basis.hk_norm(K, dom.lengths)
+            Cbx, Cby = basis.cos_tables(sb, K, dom)
+            # broadcast-multiply-reduce, NOT a (K, nb)@(nb, K) matmul: a
+            # 10-wide/10-tall GEMM fills ~1% of the MXU (the narrow-K trap)
+            # while this fuses into one VPU pass over (nb, K, K) products;
+            # fp32 accumulation either way (~1e-7 vs the vmapped HIGHEST
+            # matmul, inside the parity budget)
+            s = jnp.sum(Cbx[:, :, None] * Cby[:, None, :], axis=0)  # (K, K)
+            return s * (w / hkl)
+
+        hist_sum = jax.vmap(hist_red)(
+            s_buf, (n_hist > 0).astype(jnp.float32), domain)  # (S, K, K)
+        hist_op = hist_sum.reshape(S, K * K).T
+        nb = 0  # kernel consumes the precomputed sums
     elif nb:
         s_buf, n_hist = jax.vmap(lambda b, sb: b.sample_states(nb, sb))(
             state.buffer, sub
@@ -654,7 +692,6 @@ def _safety_ops(sp: SafetyParams, x_r, vb_r, u0, pd_c, psx, psy,
     T = x_r.shape[-1]
     x0, y0, th0 = x_r[0, :], x_r[1, :], x_r[2, :]
     c0, s0 = jnp.cos(th0), jnp.sin(th0)
-    cells = jax.lax.broadcasted_iota(jnp.int32, (Pc, 1), 0).astype(jnp.float32)
     res = pr_r[0, :]
     Lx, Ly = dl_r[0, :], dl_r[1, :]
 
@@ -677,14 +714,30 @@ def _safety_ops(sp: SafetyParams, x_r, vb_r, u0, pd_c, psx, psy,
         dyb = vx * b + vy * a
         return x0 + c0 * dxb - s0 * dyb, y0 + s0 * dxb + c0 * dyb
 
-    def pose_code(px, py):
+    def step_window(t, steps):
+        """Static (offset, width) of the reach-limited sub-window at step t.
+
+        The queried pose has moved at most (t/steps) of the final reach,
+        which the Pc window covers BY THE CONFIG CONTRACT (safety window >=
+        reach + margin, config.safety_patch_cells); scaling its half-width
+        linearly with one extra cell of rounding margin keeps every real
+        query strictly inside the sub-window, so the nearest-cell result is
+        IDENTICAL — but the one-hot select work shrinks ~(W_t/Pc)^2 on the
+        early steps (round-3 kernel profile: the DWA sweep was ~1.3 ms)."""
+        half = min(Pc // 2, int(np.ceil((Pc // 2) * t / steps)) + 1)
+        Wt = min(Pc, 2 * half + 1)
+        return (Pc - Wt) // 2, Wt
+
+    def pose_code(px, py, o, Wt):
         """Collision code at a position (ops/collision.py check_pose via
         the cropped window's nearest-cell query)."""
-        fx = (px - po_r[0, :]) / res - 0.5 - psx
-        fy = (py - po_r[1, :]) / res - 0.5 - psy
-        ox = jnp.round(jnp.clip(fx, 0.0, Pc - 1.001))[None, :] == cells  # (Pc, T)
-        oy = jnp.round(jnp.clip(fy, 0.0, Pc - 1.001))[None, :] == cells
-        row = jnp.sum(pd_c[:, :, :] * ox.astype(jnp.float32)[None, :, :], axis=1)
+        cells_t = jax.lax.broadcasted_iota(jnp.int32, (Wt, 1), 0).astype(jnp.float32)
+        fx = (px - po_r[0, :]) / res - 0.5 - (psx + float(o))
+        fy = (py - po_r[1, :]) / res - 0.5 - (psy + float(o))
+        ox = jnp.round(jnp.clip(fx, 0.0, Wt - 1.001))[None, :] == cells_t  # (Wt, T)
+        oy = jnp.round(jnp.clip(fy, 0.0, Wt - 1.001))[None, :] == cells_t
+        pd_t = pd_c[o:o + Wt, o:o + Wt, :]
+        row = jnp.sum(pd_t * ox.astype(jnp.float32)[None, :, :], axis=1)
         clearance = jnp.sum(oy.astype(jnp.float32) * row, axis=0)  # (T,)
         d = clearance - sp.b_radius
         relx = px - do_r[0, :]
@@ -699,7 +752,8 @@ def _safety_ops(sp: SafetyParams, x_r, vb_r, u0, pd_c, psx, psy,
     code = jnp.zeros((T,), jnp.int32)
     for t in range(1, sp.val_horizon + 1):
         px, py = arc(vx0, vy0, w0, sp.val_dt * t)
-        code = jnp.maximum(code, pose_code(px, py))
+        o, Wt = step_window(t, sp.val_horizon)
+        code = jnp.maximum(code, pose_code(px, py, o, Wt))
 
     # ---- DWA candidate sweep (ops/dwa.py), VECTORIZED over the C
     # candidates (leading axis) so only steps and patch rows unroll ----
@@ -725,16 +779,18 @@ def _safety_ops(sp: SafetyParams, x_r, vb_r, u0, pd_c, psx, psy,
 
     crash = jnp.zeros((C, T), jnp.bool_)
     for t in range(1, sp.dwa_horizon + 1):
+        o, Wt = step_window(t, sp.dwa_horizon)  # reach-limited sub-window
+        cells_t = jax.lax.broadcasted_iota(jnp.int32, (Wt, 1), 0).astype(jnp.float32)
         px, py = arc(rvx, rvy, rw, sp.dwa_dt * t)  # (C, T)
-        fx = (px - po_r[0, :][None, :]) / res[None, :] - 0.5 - psx[None, :]
-        fy = (py - po_r[1, :][None, :]) / res[None, :] - 0.5 - psy[None, :]
-        ox = (jnp.round(jnp.clip(fx, 0.0, Pc - 1.001))[:, None, :]
-              == cells[None, :, :]).astype(jnp.float32)  # (C, Pc, T)
-        oy = (jnp.round(jnp.clip(fy, 0.0, Pc - 1.001))[:, None, :]
-              == cells[None, :, :]).astype(jnp.float32)
+        fx = (px - po_r[0, :][None, :]) / res[None, :] - 0.5 - (psx + float(o))[None, :]
+        fy = (py - po_r[1, :][None, :]) / res[None, :] - 0.5 - (psy + float(o))[None, :]
+        ox = (jnp.round(jnp.clip(fx, 0.0, Wt - 1.001))[:, None, :]
+              == cells_t[None, :, :]).astype(jnp.float32)  # (C, Wt, T)
+        oy = (jnp.round(jnp.clip(fy, 0.0, Wt - 1.001))[:, None, :]
+              == cells_t[None, :, :]).astype(jnp.float32)
         clearance = jnp.zeros((C, T), jnp.float32)
-        for a in range(Pc):  # clearance = sum_a oy[a] * (pd[a] @ ox)
-            row = jnp.sum(pd_c[a, :, :][None, :, :] * ox, axis=1)  # (C, T)
+        for a in range(Wt):  # clearance = sum_a oy[a] * (pd[a] @ ox)
+            row = jnp.sum(pd_c[o + a, o:o + Wt, :][None, :, :] * ox, axis=1)  # (C, T)
             clearance = clearance + oy[:, a, :] * row
         inside = ((px >= do_r[0, :][None, :]) & (px <= (do_r[0, :] + Lx)[None, :])
                   & (py >= do_r[1, :][None, :]) & (py <= (do_r[1, :] + Ly)[None, :]))

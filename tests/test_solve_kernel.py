@@ -74,8 +74,10 @@ def test_fused_matches_vmapped_controller(model, history):
     np.testing.assert_allclose(
         sc_fus.state.buffer.states, sc_ref.state.buffer.states, atol=1e-6
     )
+    # atol 5e-6: the kernel builds cos(k theta) by Chebyshev recurrence
+    # (~1e-6 at K=10; solve_kernel.py section 2) vs the XLA path's direct cos
     np.testing.assert_allclose(sc_fus.state.ck_sum, sc_ref.state.ck_sum,
-                               rtol=1e-5, atol=1e-6)
+                               rtol=1e-5, atol=5e-6)
 
 
 def test_fused_shared_history_draw_matches_vmapped():
