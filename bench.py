@@ -164,8 +164,11 @@ def bench_latency(n=128, reps=10):
     return {
         "p50": float(np.mean(trimmed)),
         "p99": float(np.percentile(s, 99)),
-        "min": float(s.min()),
-        "max": float(s.max()),
+        # spread of the TRIMMED samples: the chain-difference estimator's
+        # raw tails can go negative at sub-ms latencies (two noisy chain
+        # timings subtracted) — real, but not a latency
+        "min": float(trimmed.min()),
+        "max": float(trimmed.max()),
         "reps": int(reps),
         "chain": int(n),
     }

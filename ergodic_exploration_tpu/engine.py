@@ -558,27 +558,33 @@ class Engine:
         hk = basis.hk_norm(K, domain.lengths)
         D = basis.dense_table(basis.tables(pts, K, domain), hk)
         h, w = grids.data.shape[-2:]
-        Bx = target_ops.blur_count_matrix(w, r)
-        By = target_ops.blur_count_matrix(h, r)
         _HI = jax.lax.Precision.HIGH
         _DEF = jax.lax.Precision.DEFAULT
 
-        def vals_one(g):
-            info = target_ops.entropy(g.prob())  # (h, w), unblurred
-            zfree = (~g.occupied()).astype(jnp.float32)
-            Ax, Ay = target_ops.sampling_one_hots(g, cfg.grid_samples, domain)
-            # blur-folded sampling matrices: exact small-int counts (bf16-safe)
-            Axb = jnp.matmul(Ax, Bx, precision=_DEF)  # (nsx, w)
-            Ayb = jnp.matmul(Ay, By, precision=_DEF)  # (nsy, h)
-            # blurred info at the lattice, scaled by (2r+1)^2 (cancels below)
-            sampled = jnp.matmul(
-                jnp.matmul(Axb, info.T, precision=_HI), Ayb.T, precision=_HI,
-                preferred_element_type=jnp.float32)  # (nsx, nsy)
-            zs = jnp.matmul(
-                jnp.matmul(Ax, zfree.T, precision=_DEF), Ay.T, precision=_DEF)
-            return (sampled * zs).reshape(nsx * nsy)
+        # The shared-domain contract extends to shared GRID GEOMETRY (the
+        # sharded MI path documents the same assumption): sampling + blur
+        # matrices are built ONCE from scenario 0's geometry, so the whole
+        # batch reduces through shared-RHS batched GEMMs instead of
+        # per-scenario matrix construction under vmap (~1-2 ms at S=4096).
+        g0 = jax.tree.map(lambda a: a[0], grids)
+        Ax, Ay = target_ops.sampling_one_hots(g0, cfg.grid_samples, domain)
+        Bx = target_ops.blur_count_matrix(w, r)
+        By = target_ops.blur_count_matrix(h, r)
+        Axb = jnp.matmul(Ax, Bx, precision=_DEF)  # (nsx, w) small-int exact
+        Ayb = jnp.matmul(Ay, By, precision=_DEF)  # (nsy, h)
 
-        vals = jnp.maximum(jax.vmap(vals_one)(grids), 0.0)  # (S, N)
+        info = target_ops.entropy(grids.prob())  # (S, h, w), unblurred
+        zfree = (~grids.occupied()).astype(jnp.float32)  # (S, h, w)
+        # blurred info at the lattice, scaled by (2r+1)^2 (cancels below):
+        # sampled[s, ix, iy] = (Axb info[s]^T Ayb^T)[ix, iy]
+        t1 = jnp.matmul(info, Axb.T, precision=_HI,
+                        preferred_element_type=jnp.float32)  # (S, h, nsx)
+        sampled = jnp.matmul(
+            jnp.transpose(t1, (0, 2, 1)), Ayb.T,
+            precision=_HI, preferred_element_type=jnp.float32)  # (S, nsx, nsy)
+        z1 = jnp.matmul(zfree, Ax.T, precision=_DEF)  # (S, h, nsx)
+        zs = jnp.matmul(jnp.transpose(z1, (0, 2, 1)), Ay.T, precision=_DEF)
+        vals = jnp.maximum((sampled * zs).reshape(-1, nsx * nsy), 0.0)  # (S, N)
         ck_raw = basis.coefficients_dense(vals, D, K)
         total = ck_raw[:, 0, 0] * hk[0, 0]  # scaled sum — scale cancels
         n = float(pts.shape[0])
@@ -677,6 +683,8 @@ class Engine:
             )
             world = timed("prepare_world", lambda: self.prepare_world(grids))
             timed("phik_from_grid", lambda: self.phik_from_grid(grids))
+            timed("replan_refresh_mi", lambda: self.replan_refresh_mi(
+                _copy_tree(sc), grids, world, domain=domain)[1])
         else:
             world = self.empty_world(domain, S)
         phik = timed("phik_from_gmm", lambda: self.phik_from_gmm(

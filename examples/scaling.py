@@ -34,7 +34,12 @@ def run_point(S, mesh, iters=20):
 
     rng = np.random.default_rng(0)
     domain = Domain.create(0.0, 0.0, 5.0, 5.0)
-    engine = Engine(default_config("cart").replace(use_pallas=False), mesh=mesh)
+    # fused Pallas path on TPU (the bench configuration); plain XLA
+    # elsewhere (interpret-mode Pallas would dominate CPU wall time)
+    on_tpu = jax.default_backend() == "tpu"
+    engine = Engine(default_config("cart").replace(
+        use_pallas=on_tpu, use_fused_solve=on_tpu,
+        shared_history_draw=on_tpu, shared_maps=on_tpu), mesh=mesh)
     data = np.zeros((100, 100), dtype=np.float32)
     data[45:50, 20:80] = 1.0
     grids = GridMap(
