@@ -154,8 +154,12 @@ class EngineConfig:
     # All scenarios share ONE map (fleet-on-a-shared-map batching). Lets the
     # masked target refresh fold the free-space mask into the dense basis
     # table (engine._phik_from_gmm_fn) so masking costs nothing instead of an
-    # (S, N) HBM pass — measured ~1 ms/tick at S=4096 on v5e. Semantics are
-    # identical when every scenario's map (hence free mask) is the same row.
+    # (S, N) HBM pass — measured ~1 ms/tick at S=4096 on v5e — and, on the
+    # fused path, moves patch extraction INSIDE the solve kernel (the shared
+    # map rides along as three exact bf16 chunks; ops/solve_kernel.py
+    # section 0) so the XLA one-hot extraction and its (S, P, P) transposes
+    # disappear. Semantics are identical when every scenario's map (hence
+    # free mask / distance field) is the same row.
     shared_maps: bool = False
     # Unroll factor for the short sequential RK4 scans (rollout + co-state).
     # Per-step bodies are tiny (batch, 3) ops, so unrolling lets XLA fuse

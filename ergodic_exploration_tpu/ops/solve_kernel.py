@@ -64,6 +64,13 @@ class SolveParams:
     mx: Tuple[float, ...]  # body-twist mixing rows: vx = mx @ u, ...
     my: Tuple[float, ...]
     mw: Tuple[float, ...]
+    # shared-map in-kernel patch extraction (cfg.shared_maps): when nonzero,
+    # the three (P, P, S) patch operands are replaced by three (map_w, map_h)
+    # bf16 chunks of the SHARED distance map's transpose and the patch +
+    # gradient are built inside the kernel (no XLA extraction, no (S, P, P)
+    # transposes, no patch HBM round trip)
+    map_h: int = 0
+    map_w: int = 0
 
 
 def model_rows(model):
@@ -133,6 +140,58 @@ def _make_kernel(sp: SolveParams, sps: "SafetyParams | None" = None):
         c2 = jnp.where(k2g == 0.0, 1.0, 0.5)
         sqc_c = jnp.sqrt(c1 * c2)
         k_c = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0).astype(jnp.float32)[:, 0]  # (K,)
+
+        # ---- 0. patch: in-kernel extraction from the SHARED map, or the
+        # precomputed (P, P, T) operands. Shared-map path (cfg.shared_maps):
+        # row select rides the MXU — the fp32 map is pre-split into three
+        # bf16 chunks (fp32 == hi + mid + lo exactly; the one-hot RHS is
+        # bf16-exact), so three DEFAULT-precision dots reconstruct the XLA
+        # path's HIGHEST-precision selection. Column select + the central-
+        # difference gradient (ops/patch.py extract_patch semantics,
+        # one-sided edges, FAR plateau zeroed) are VPU work on the
+        # (P, map_w, T) row slab. ----
+        if sp.map_h:
+            mh, mw_ = sp.map_h, sp.map_w
+            ih = jax.lax.broadcasted_iota(jnp.int32, (mh, 1), 0).astype(jnp.float32)
+            rows_sel = []
+            for py in range(P):
+                r = jnp.clip(ps_r[1, :] + float(py), 0.0, float(mh - 1))  # (T,)
+                # chunks + one-hot are bf16-exact f32 values, so the MXU's
+                # DEFAULT-precision bf16 input rounding is LOSSLESS here
+                # (and CPU interpret runs a plain f32 dot)
+                oh = (ih == r[None, :]).astype(jnp.float32)  # (mh, T)
+                rs = None
+                for mr in (pd_r, pgx_r, pgy_r):  # hi/mid/lo chunks (mw, mh)
+                    d = jnp.dot(mr[:, :], oh, preferred_element_type=jnp.float32)
+                    rs = d if rs is None else rs + d
+                rows_sel.append(rs)  # (mw, T)
+            RS = jnp.stack(rows_sel)  # (P, mw, T)
+            iw = jax.lax.broadcasted_iota(jnp.int32, (1, mw_, 1), 1).astype(jnp.float32)
+            cols = []
+            for px in range(P):
+                c = jnp.clip(ps_r[0, :] + float(px), 0.0, float(mw_ - 1))
+                ohx = (iw == c[None, None, :]).astype(jnp.float32)  # (1, mw, T)
+                cols.append(jnp.sum(RS * ohx, axis=1))  # (P, T)
+            pd = jnp.stack(cols, axis=1)  # (P, P, T) [iy, ix, t]
+            inv = 1.0 / pr_r[0, :]  # (T,)
+            i2 = 0.5 * inv
+            gx = jnp.concatenate([
+                (pd[:, 1:2] - pd[:, 0:1]) * inv[None, None, :],
+                (pd[:, 2:] - pd[:, :-2]) * i2[None, None, :],
+                (pd[:, -1:] - pd[:, -2:-1]) * inv[None, None, :],
+            ], axis=1)
+            gy = jnp.concatenate([
+                (pd[1:2] - pd[0:1]) * inv[None, None, :],
+                (pd[2:] - pd[:-2]) * i2[None, None, :],
+                (pd[-1:] - pd[-2:-1]) * inv[None, None, :],
+            ], axis=0)
+            far = pd >= 1.0e6  # ops/patch.py FAR
+            pgx = jnp.where(far, 0.0, gx)
+            pgy = jnp.where(far, 0.0, gy)
+        else:
+            pd = pd_r[:, :, :]
+            pgx = pgx_r[:, :, :]
+            pgy = pgy_r[:, :, :]
 
         def twist(u_t):  # u_t: (nu, T) -> vx, vy, w each (T,)
             vx = sum(sp.mx[i] * u_t[i] for i in range(nu))
@@ -249,9 +308,9 @@ def _make_kernel(sp: SolveParams, sps: "SafetyParams | None" = None):
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[t][None, :] - cells))  # (P, T)
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy[t][None, :] - cells))
             # bilinear: sum_a wy[a] * sum_b patch[a, b] * wx[b]
-            row_d = jnp.sum(pd_r[:, :, :] * wx[None, :, :], axis=1)  # (P, T)
-            row_x = jnp.sum(pgx_r[:, :, :] * wx[None, :, :], axis=1)
-            row_y = jnp.sum(pgy_r[:, :, :] * wx[None, :, :], axis=1)
+            row_d = jnp.sum(pd * wx[None, :, :], axis=1)  # (P, T)
+            row_x = jnp.sum(pgx * wx[None, :, :], axis=1)
+            row_y = jnp.sum(pgy * wx[None, :, :], axis=1)
             dv = jnp.sum(wy * row_d, axis=0)  # (T,)
             gvx = jnp.sum(wy * row_x, axis=0)
             gvy = jnp.sum(wy * row_y, axis=0)
@@ -323,7 +382,7 @@ def _make_kernel(sp: SolveParams, sps: "SafetyParams | None" = None):
             u0 = [u_new[0][i] for i in range(nu)]
             code, udwa, feasible = _safety_ops(
                 sps, x_r, vb_r, u0,
-                pd_r[o:o + sps.Pc, o:o + sps.Pc, :],
+                pd[o:o + sps.Pc, o:o + sps.Pc, :],
                 ps_r[0, :] + float(o), ps_r[1, :] + float(o),
                 po_r, pr_r, do_r, dl_r)
             code_r[0, :] = code
@@ -365,12 +424,18 @@ def fused_solve(sp: SolveParams, x, U, hist, nh, phik, pd, pgx, pgy,
                             memory_space=pltpu.VMEM)
 
     hist_spec = spec(2, sp.nb) if sp.nb else spec(K * K)
+    if sp.map_h:  # shared-map chunks: full (map_w, map_h) block every tile
+        pspec = pl.BlockSpec((sp.map_w, sp.map_h), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        patch_specs = [pspec, pspec, pspec]
+    else:
+        patch_specs = [spec(P, P), spec(P, P), spec(P, P)]
     return pl.pallas_call(
         _make_kernel(sp),
         grid=(S // tile,),
         in_specs=[
             spec(3), spec(H, nu), hist_spec, spec(1), spec(K * K),
-            spec(P, P), spec(P, P), spec(P, P),
+            *patch_specs,
             spec(2), spec(2), spec(1), spec(2), spec(2), spec(K * K),
         ],
         out_specs=(spec(H, nu), spec(1), spec(1), spec(K * K)),
@@ -413,12 +478,18 @@ def fused_solve_safety(sp: SolveParams, sps: "SafetyParams", x, U, hist, nh,
                             memory_space=pltpu.VMEM)
 
     hist_spec = spec(2, sp.nb) if sp.nb else spec(K * K)
+    if sp.map_h:  # shared-map chunks: full (map_w, map_h) block every tile
+        pspec = pl.BlockSpec((sp.map_w, sp.map_h), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        patch_specs = [pspec, pspec, pspec]
+    else:
+        patch_specs = [spec(P, P), spec(P, P), spec(P, P)]
     return pl.pallas_call(
         _make_kernel(sp, sps),
         grid=(S // tile,),
         in_specs=[
             spec(3), spec(H, nu), hist_spec, spec(1), spec(K * K),
-            spec(P, P), spec(P, P), spec(P, P),
+            *patch_specs,
             spec(2), spec(2), spec(1), spec(2), spec(2), spec(K * K),
             spec(3),
         ],
@@ -461,9 +532,28 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
     H = cfg.horizon
     domain = world.domain  # batched leaves (S, ...)
 
-    patches = jax.vmap(lambda d, c: extract_patch(d, c, cfg.patch_cells))(
-        world.dist, x[:, :2]
-    )
+    if cfg.shared_maps:
+        # In-kernel patch extraction (cfg.shared_maps promises identical
+        # maps across scenarios): ship the shared map once as three bf16
+        # chunks (fp32 == hi + mid + lo exactly) instead of three (S, P, P)
+        # patch arrays — the XLA extraction, its transposes, and the patch
+        # HBM round trip all disappear (round-3 ablation: ~0.6 ms/tick).
+        patches = None
+        d0 = world.dist.dist[0]
+        mh, mw = d0.shape
+        Pp = min(cfg.patch_cells, mh, mw)
+        cf = (x[:, :2] - world.dist.origin) / world.dist.resolution[:, None] - 0.5
+        start = jnp.round(cf).astype(jnp.int32) - Pp // 2  # (S, 2) (ix, iy)
+        hi = d0.astype(jnp.bfloat16).astype(jnp.float32)
+        mid = (d0 - hi).astype(jnp.bfloat16).astype(jnp.float32)
+        lo = (d0 - hi - mid).astype(jnp.bfloat16).astype(jnp.float32)
+        patch_ops = (hi.T, mid.T, lo.T)  # (mw, mh) bf16-exact f32 chunks
+        patch_meta = (start.T.astype(jnp.float32), world.dist.origin.T,
+                      world.dist.resolution[None, :])
+    else:
+        patches = jax.vmap(lambda d, c: extract_patch(d, c, cfg.patch_cells))(
+            world.dist, x[:, :2]
+        )
 
     # history over [buffer || rollout] — same three branches as the
     # controller (ring+batch / ring full-concat / accumulate). The common
@@ -540,9 +630,21 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
     # ---- the fused Pallas descent core (transposed operands) ----
     # P must be the ACTUAL patch size: extract_patch clamps cfg.patch_cells
     # to the map extent (tiny FAR fields in obstacle-free worlds).
-    sp = dataclasses.replace(
-        params_from_config(cfg), P=patches.dist.shape[-1], nb=nb
-    )
+    if cfg.shared_maps:
+        sp = dataclasses.replace(
+            params_from_config(cfg), P=Pp, nb=nb, map_h=mh, map_w=mw
+        )
+    else:
+        sp = dataclasses.replace(
+            params_from_config(cfg), P=patches.dist.shape[-1], nb=nb
+        )
+        patch_ops = (
+            jnp.transpose(patches.dist, (1, 2, 0)),
+            jnp.transpose(patches.grad[..., 0], (1, 2, 0)),
+            jnp.transpose(patches.grad[..., 1], (1, 2, 0)),
+        )
+        patch_meta = (patches.start.T.astype(jnp.float32), patches.origin.T,
+                      patches.resolution[None, :])
     t3 = lambda a: jnp.transpose(a, (1, 2, 0))
     core_ops = (
         x.T,
@@ -550,12 +652,8 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
         hist_op,
         n_hist[None, :],
         phik.reshape(S, K * K).T,
-        t3(patches.dist),
-        t3(patches.grad[..., 0]),
-        t3(patches.grad[..., 1]),
-        patches.start.T.astype(jnp.float32),
-        patches.origin.T,
-        patches.resolution[None, :],
+        *patch_ops,
+        *patch_meta,
         domain.origin.T,
         domain.lengths.T,
         state.ck_sum.reshape(S, K * K).T,

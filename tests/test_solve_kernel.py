@@ -105,9 +105,61 @@ def test_fused_shared_history_draw_matches_vmapped():
     assert not np.allclose(outs[True][0][-1][0], outs[True][0][-1][1])
 
 
-def test_fused_empty_world_and_boundary():
+@pytest.mark.parametrize("model", ["cart", "omni"])
+def test_fused_shared_maps_inkernel_patch_matches_vmapped(model):
+    """shared_maps=True on the fused path extracts the distance-field patch
+    INSIDE the kernel from three exact bf16 chunks of the shared map
+    (solve_kernel.py section 0) — controls, collision codes, and DWA
+    decisions must match the vmapped controller exactly as the
+    XLA-extracted patch path does, over multiple ticks with obstacles."""
+    cfg, domain, x0, grids, gmm = _case(model)
+    outs = {}
+    for fused in (False, True):
+        eng = Engine(cfg.replace(use_fused_solve=fused, shared_maps=fused))
+        sc = eng.init_scenarios(x0)
+        phik = eng.phik_from_gmm(gmm, domain)
+        world = eng.prepare_world(grids)
+        us, codes, dwas = [], [], []
+        for _ in range(3):
+            sc, u, diag = eng.replan(sc, phik, world)
+            us.append(np.asarray(u))
+            codes.append(np.asarray(diag.collision_code))
+            dwas.append(np.asarray(diag.dwa_active))
+        outs[fused] = (np.stack(us), np.stack(codes), np.stack(dwas))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], atol=5e-5)
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
+    np.testing.assert_array_equal(outs[True][2], outs[False][2])
+
+
+def test_fused_shared_maps_sharded_matches_unsharded():
+    """The in-kernel extraction path must also compile and match on a
+    scenario mesh (the shared map is read as dist[0] of a sharded batch)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ergodic_exploration_tpu.engine import make_scenario_mesh
+
+    cfg, domain, x0, grids, gmm = _case("cart", S=16)
+    cfg = cfg.replace(use_fused_solve=True, shared_maps=True)
+    outs = {}
+    for mesh in (None, make_scenario_mesh(8)):
+        eng = Engine(cfg, mesh=mesh)
+        sc = eng.init_scenarios(x0)
+        phik = eng.phik_from_gmm(gmm, domain)
+        world = eng.prepare_world(grids)
+        sc, u, diag = eng.replan(sc, phik, world)
+        outs[mesh is None] = (np.asarray(u), np.asarray(diag.collision_code))
+    np.testing.assert_allclose(outs[False][0], outs[True][0],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(outs[False][1], outs[True][1])
+
+
+@pytest.mark.parametrize("shared", [False, True])
+def test_fused_empty_world_and_boundary(shared):
     """Obstacle-free world (FAR distance field) + a start near the boundary:
-    the boundary barrier path and the FAR plateau must match too."""
+    the boundary barrier path and the FAR plateau must match too — on both
+    the XLA-extracted-patch and the in-kernel shared-map extraction paths
+    (the latter must reconstruct FAR == 1e6 exactly from the bf16 chunks
+    so the gradient zeroing applies)."""
     cfg = default_config("cart").replace(num_basis=5, buffer_capacity=32)
     domain = Domain.create(0.0, 0.0, 2.0, 2.0)
     S = 8
@@ -123,7 +175,8 @@ def test_fused_empty_world_and_boundary():
     )
     outs = {}
     for fused in (False, True):
-        eng = Engine(cfg.replace(use_fused_solve=fused))
+        eng = Engine(cfg.replace(use_fused_solve=fused,
+                                 shared_maps=fused and shared))
         sc = eng.init_scenarios(x0)
         phik = eng.phik_from_gmm(gmm, domain)
         world = eng.empty_world(domain, S)
