@@ -161,6 +161,19 @@ class EngineConfig:
     # disappear. Semantics are identical when every scenario's map (hence
     # free mask / distance field) is the same row.
     shared_maps: bool = False
+    # Scenario-tile width (lanes) of the fused Pallas kernels. Must be a
+    # power of two >= 128 (Mosaic lane-dim block constraint); S not divisible
+    # falls back to smaller powers of two automatically. Sweepable on
+    # hardware (tools/tpu_patch_ab.py): 128 measured best at S=4096 on v5e
+    # (256: +0.7 ms; 512: scoped-VMEM OOM).
+    solve_tile: int = 128
+    # Validate the shared-geometry contracts (shared_maps / dense shared-
+    # domain refresh) at the Python API edge: concrete operands are checked
+    # host-side ONCE per distinct array object and misuse raises ValueError
+    # instead of silently computing scenario 0's physics for everyone
+    # (utils/validation.py). The map-data equality check reads the batch
+    # back once per world object (map cadence); set False to skip entirely.
+    validate_shared: bool = True
     # Unroll factor for the short sequential RK4 scans (rollout + co-state).
     # Per-step bodies are tiny (batch, 3) ops, so unrolling lets XLA fuse
     # across steps; sweepable on hardware (static -> recompiles on change).

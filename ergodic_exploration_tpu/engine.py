@@ -100,11 +100,37 @@ class Engine:
         if config.use_fused_solve:
             from ergodic_exploration_tpu.ops.solve_kernel import replan_batched_fused
 
-            self._replan_batched = (
-                lambda st, x, vb, ph, wo: replan_batched_fused(
-                    self.config, model, st, x, vb, ph, wo
-                )
-            )
+            def _fused(st, x, vb, ph, wo):
+                return replan_batched_fused(self.config, model, st, x, vb, ph, wo)
+
+            if mesh is not None:
+                # Explicitly partition the fused path over the scenario axis:
+                # a pallas_call is an opaque custom call to GSPMD, so without
+                # shard_map the mesh would fall back to replicated compute.
+                # Every operand/output leaf carries the scenario axis first;
+                # the solve has zero cross-scenario communication, so specs
+                # are a uniform P('scenario') prefix. Shared-map/shared-draw
+                # reads of row 0 see the LOCAL shard's row 0 — identical by
+                # the shared contracts.
+                from jax import shard_map
+
+                spec = P(self.SCENARIO_AXIS)
+
+                def _fused_sharded(st, x, vb, ph, wo):
+                    # check_vma=False: pallas_call out_shapes carry no vma
+                    # annotation; there are no collectives to validate here
+                    # anyway (scenario-parallel, zero cross-shard comms)
+                    return shard_map(
+                        _fused,
+                        mesh=self.mesh,
+                        in_specs=(spec, spec, spec, spec, spec),
+                        out_specs=spec,
+                        check_vma=False,
+                    )(st, x, vb, ph, wo)
+
+                self._replan_batched = _fused_sharded
+            else:
+                self._replan_batched = _fused
 
             def _tick_batched(state, x, vb, phik, world):
                 state, u, diag = self._replan_batched(state, x, vb, phik, world)
@@ -124,6 +150,24 @@ class Engine:
         self._phik_gmm_sharded_jit = jax.jit(self._phik_gmm_sharded_fn)
         self._phik_grid_jits = {}  # sensor_radius_cells -> jitted batched fn
         self._phik_grid_sharded_jits = {}  # sensor_radius_cells -> jitted sharded fn
+
+    # ------------------------------------------------------------------
+    # shared-geometry contract guards (utils/validation.py)
+    # ------------------------------------------------------------------
+
+    def _check_shared_world(self, world: "World") -> None:
+        if self.config.shared_maps and self.config.validate_shared:
+            from ergodic_exploration_tpu.utils.validation import check_shared_world
+
+            check_shared_world(world)
+
+    def _check_shared_grids(self, grids: GridMap) -> None:
+        if self.config.validate_shared:
+            from ergodic_exploration_tpu.utils.validation import (
+                check_shared_grid_geometry,
+            )
+
+            check_shared_grid_geometry(grids)
 
     # ------------------------------------------------------------------
     # sharding plumbing
@@ -258,6 +302,13 @@ class Engine:
         # normalize to strong float32: a weak-typed leaf (e.g. from a bare
         # jnp.full) would otherwise silently retrace every jitted consumer
         grids = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), grids)
+        if self.config.shared_maps and self.config.validate_shared:
+            # shared_maps promises IDENTICAL maps across scenarios (data +
+            # geometry) — misuse silently gives every scenario row 0's
+            # obstacles. One host readback per distinct grids object.
+            from ergodic_exploration_tpu.utils.validation import check_rows_shared
+
+            check_rows_shared(grids, "grids (cfg.shared_maps)")
         if domain is not None:
             return self.shard_scenarios(
                 jax.jit(jax.vmap(lambda g: self._world_one(g, domain)))(grids)
@@ -610,12 +661,15 @@ class Engine:
             and self.SAMPLE_AXIS in self.mesh.axis_names
             and self.mesh.shape[self.SAMPLE_AXIS] > 1
         ):
+            self._check_shared_grids(grids)  # lattice from scenario 0's domain
             f = self._phik_grid_sharded_jits.get(r)
             if f is None:
                 f = jax.jit(lambda g: self._phik_grid_sharded_fn(g, r))
                 self._phik_grid_sharded_jits[r] = f
             return f(grids)
         dense = domain is not None and domain.origin.ndim == 1
+        if dense:
+            self._check_shared_grids(grids)  # dense path: scenario-0 geometry
         f = self._phik_grid_jits.get((r, dense))
         if f is None:
             if dense:
@@ -736,6 +790,7 @@ class Engine:
         Does NOT advance the poses — mirror of the reference's per-tick
         ``control()`` call; the host (or :meth:`explore`) owns the plant.
         """
+        self._check_shared_world(world)
         return self._replan_jit(sc, phik, world)
 
     def _refresh_and_replan_fn(self, sc: Scenarios, gmm, domain: Domain, world: World):
@@ -750,6 +805,7 @@ class Engine:
         """One batched tick including the per-tick GMM target refresh, fused
         in a single jitted program (the full reference tick; what bench.py
         measures). Use :meth:`replan` when phi_k is precomputed/static."""
+        self._check_shared_world(world)
         if not hasattr(self, "_replan_refresh_jit"):
             self._replan_refresh_jit = self._shard_jit(self._refresh_and_replan_fn, donate=(0,))
         return self._replan_refresh_jit(sc, gmm, domain, world)
@@ -761,9 +817,18 @@ class Engine:
         solve in one trace — BASELINE config 4's FULL per-tick work
         ("mutual-information target recomputed from an evolving occupancy
         grid each replan", SURVEY.md sections 3 and 4.3). Gather-free: the
-        dense resample+contract path when a shared ``domain`` is given,
-        else the per-scenario separable contraction (ops/target.py)."""
-        if domain is not None and domain.origin.ndim == 1:
+        sample-axis-sharded psum reduction when the mesh has a populated
+        ``sample`` axis (same dispatch as standalone :meth:`phik_from_grid`
+        — VERDICT r3 weak 4), else the dense resample+contract path when a
+        shared ``domain`` is given, else the per-scenario separable
+        contraction (ops/target.py)."""
+        if (
+            self.mesh is not None
+            and self.SAMPLE_AXIS in self.mesh.axis_names
+            and self.mesh.shape[self.SAMPLE_AXIS] > 1
+        ):
+            phik = self._phik_grid_sharded_fn(grids, sensor_radius_cells)
+        elif domain is not None and domain.origin.ndim == 1:
             phik = self._phik_grid_batch_dense_fn(grids, domain, sensor_radius_cells)
         else:
             phik = jax.vmap(
@@ -780,6 +845,9 @@ class Engine:
         map cadence (the reference's ~1 Hz SLAM refresh vs its 10 Hz control
         loop, SURVEY.md section 4.3). Pass the shared ``domain`` when all
         grids span it — the refresh then rides the dense wide-matmul path."""
+        self._check_shared_world(world)
+        if domain is not None and domain.origin.ndim == 1:
+            self._check_shared_grids(grids)  # dense path: scenario-0 geometry
         jits = getattr(self, "_replan_refresh_mi_jits", None)
         if jits is None:
             jits = self._replan_refresh_mi_jits = {}

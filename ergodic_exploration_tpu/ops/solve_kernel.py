@@ -39,6 +39,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ergodic_exploration_tpu.ops.patch import FAR  # scalar: fine to close over
+
 
 @dataclass(frozen=True)
 class SolveParams:
@@ -185,7 +187,7 @@ def _make_kernel(sp: SolveParams, sps: "SafetyParams | None" = None):
                 (pd[2:] - pd[:-2]) * i2[None, None, :],
                 (pd[-1:] - pd[-2:-1]) * inv[None, None, :],
             ], axis=0)
-            far = pd >= 1.0e6  # ops/patch.py FAR
+            far = pd >= FAR  # ops/patch.py FAR plateau
             pgx = jnp.where(far, 0.0, gx)
             pgy = jnp.where(far, 0.0, gy)
         else:
@@ -512,6 +514,22 @@ def fused_solve_safety(sp: SolveParams, sps: "SafetyParams", x, U, hist, nh,
       dorigin, dlen, cks, vb)
 
 
+def shared_map_vmem_bytes(cfg, map_h: int, map_w: int, tile: int) -> int:
+    """Scoped-VMEM footprint (bytes) of the in-kernel shared-map patch
+    extraction: three (map_w, map_h) f32 chunks + the (P, map_w, tile) row
+    slab + the (P, P, tile) patch/gradient tiles. Used to gate the path —
+    a too-large map would otherwise fail at Mosaic compile with an opaque
+    scoped-VMEM error (ADVICE r3)."""
+    P = cfg.patch_cells
+    return 4 * (3 * map_w * map_h + P * map_w * tile + 3 * P * P * tile)
+
+
+# Scoped-VMEM budget for the shared-map operands alone; the rest of the
+# merged kernel needs ~6-8 MB of the 16 MB limit at tile=128 (measured: the
+# 100x100 bench map + tile 512 OOMs at 26.6 MB, tile 128 fits comfortably).
+_SHARED_MAP_VMEM_BUDGET = 6 * 1024 * 1024
+
+
 def replan_batched_fused(cfg, model, state, x, vb, phik, world):
     """One batched replan tick with the fused kernel as the descent core —
     drop-in for ``jax.vmap(ErgodicController.step)`` (same signature modulo
@@ -532,7 +550,15 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
     H = cfg.horizon
     domain = world.domain  # batched leaves (S, ...)
 
-    if cfg.shared_maps:
+    shared_maps = cfg.shared_maps
+    if shared_maps:
+        mh_, mw_ = world.dist.dist.shape[-2:]
+        if shared_map_vmem_bytes(cfg, mh_, mw_, cfg.solve_tile) > _SHARED_MAP_VMEM_BUDGET:
+            # Map too large for the in-kernel extraction's VMEM footprint:
+            # fall back to the XLA one-hot patch path (same semantics;
+            # ADVICE r3 — previously an opaque Mosaic scoped-VMEM error).
+            shared_maps = False
+    if shared_maps:
         # In-kernel patch extraction (cfg.shared_maps promises identical
         # maps across scenarios): ship the shared map once as three bf16
         # chunks (fp32 == hi + mid + lo exactly) instead of three (S, P, P)
@@ -630,7 +656,7 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
     # ---- the fused Pallas descent core (transposed operands) ----
     # P must be the ACTUAL patch size: extract_patch clamps cfg.patch_cells
     # to the map extent (tiny FAR fields in obstacle-free worlds).
-    if cfg.shared_maps:
+    if shared_maps:
         sp = dataclasses.replace(
             params_from_config(cfg), P=Pp, nb=nb, map_h=mh, map_w=mw
         )
@@ -664,7 +690,7 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
         # clamps to the patch size, matching PatchField.center_crop)
         sps = safety_params_from_config(cfg, min(cfg.safety_patch_cells, sp.P))
         Unew_t, met, bc, cko, code_t, udwa_t, feas_t = fused_solve_safety(
-            sp, sps, *core_ops, vb.T)
+            sp, sps, *core_ops, vb.T, tile=cfg.solve_tile)
         U_new = jnp.transpose(Unew_t, (2, 0, 1))  # (S, H, nu)
         u0 = U_new[:, 0]
         code = code_t[0]
@@ -673,7 +699,7 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
         use_dwa = code >= CRASH
         u_cmd = jnp.where(use_dwa[:, None], u_dwa, u0)
     else:
-        Unew_t, met, bc, cko = fused_solve(sp, *core_ops)
+        Unew_t, met, bc, cko = fused_solve(sp, *core_ops, tile=cfg.solve_tile)
         U_new = jnp.transpose(Unew_t, (2, 0, 1))
         u0 = U_new[:, 0]
         code = jnp.zeros((S,), dtype=jnp.int32)

@@ -90,6 +90,8 @@ _SCALAR_FIELD_SAMPLES = {
     "use_fused_solve": (True, True),
     "shared_maps": (True, True),
     "shared_history_draw": (True, True),
+    "solve_tile": (256, 256),
+    "validate_shared": (False, False),
     "scan_unroll": (4, 4),
 }
 

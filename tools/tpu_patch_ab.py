@@ -32,22 +32,19 @@ def main():
     base = engine.config  # shared_maps=True, fused, shared draw
 
     def t_replan(label, cfg, tile=None):
-        import ergodic_exploration_tpu.ops.solve_kernel as sk
-
-        eng = Engine(cfg)
+        # tile rides the config (cfg.solve_tile -> plumbed through
+        # replan_batched_fused to both fused kernels) — no mutation of
+        # function defaults (ADVICE r3: the defaults-tuple hack silently
+        # swept the wrong parameter if a kwarg was ever added/reordered).
         if tile is not None:
-            orig = sk.fused_solve_safety.__defaults__
-            sk.fused_solve_safety.__defaults__ = (tile, orig[1])
-        try:
-            pk = jax.jit(eng._phik_from_gmm_fn)(gmm, domain, world.free_mask)
-            f = jax.jit(lambda s_, p_, w_: eng._replan_fn(s_, p_, w_)[0])
-            jax.block_until_ready(f(sc, pk, world))
-            sec = time_chained(f, (sc, pk, world), iters=iters, carry_index=None)
-            log(f"{label:48s} {sec * 1e3:7.3f} ms  ({S / sec:,.0f}/s)")
-            return sec
-        finally:
-            if tile is not None:
-                sk.fused_solve_safety.__defaults__ = orig
+            cfg = cfg.replace(solve_tile=tile)
+        eng = Engine(cfg)
+        pk = jax.jit(eng._phik_from_gmm_fn)(gmm, domain, world.free_mask)
+        f = jax.jit(lambda s_, p_, w_: eng._replan_fn(s_, p_, w_)[0])
+        jax.block_until_ready(f(sc, pk, world))
+        sec = time_chained(f, (sc, pk, world), iters=iters, carry_index=None)
+        log(f"{label:48s} {sec * 1e3:7.3f} ms  ({S / sec:,.0f}/s)")
+        return sec
 
     def t_full(label, cfg):
         eng = Engine(cfg)
