@@ -797,7 +797,27 @@ class Engine:
         """Target refresh (10k-sample phi_k reduction, free-space masked) +
         batched solve in one trace — the reference's FULL per-tick work
         (SURVEY.md section 4.2 step 1 + steps 2-7). This is the benchmarked
-        'solve'."""
+        'solve'.
+
+        One-kernel fast path (round 4): with the fused solve + shared maps
+        on a shared domain (the bench configuration), the refresh runs
+        INSIDE the merged Pallas kernel (solve_kernel.py in-kernel refresh)
+        — the whole tick is one program. Single-chip only; on a mesh the
+        refresh stays a separate (sample-shardable) stage."""
+        cfg = self.config
+        if (
+            cfg.use_fused_solve
+            and cfg.shared_maps
+            and self.mesh is None
+            and domain.origin.ndim == 1
+        ):
+            from ergodic_exploration_tpu.ops.solve_kernel import replan_batched_fused
+
+            state, u, diag = replan_batched_fused(
+                cfg, self.controller.model, sc.state, sc.x, sc.vb, None,
+                world, gmm=gmm, domain=domain,
+            )
+            return Scenarios(state=state, x=sc.x, vb=sc.vb), u, diag
         phik = self._phik_from_gmm_fn(gmm, domain, world.free_mask)
         return self._replan_fn(sc, phik, world)
 
@@ -812,7 +832,8 @@ class Engine:
 
     def _refresh_mi_and_replan_fn(self, sc: Scenarios, grids: GridMap,
                                   world: World, sensor_radius_cells: int,
-                                  domain: Optional[Domain] = None):
+                                  domain: Optional[Domain] = None,
+                                  use_mi_kernel: bool = False):
         """MI target refresh from the evolving occupancy grids + batched
         solve in one trace — BASELINE config 4's FULL per-tick work
         ("mutual-information target recomputed from an evolving occupancy
@@ -828,6 +849,20 @@ class Engine:
             and self.mesh.shape[self.SAMPLE_AXIS] > 1
         ):
             phik = self._phik_grid_sharded_fn(grids, sensor_radius_cells)
+        elif use_mi_kernel and domain is not None and domain.origin.ndim == 1:
+            # VMEM-resident Pallas MI refresh (ops/mi_kernel.py): entropy +
+            # blur-folded resample + contraction in one pass — no (S, H, W)
+            # entropy or (S, h, nsx) intermediates through HBM
+            from ergodic_exploration_tpu.ops.mi_kernel import (
+                pack_beliefs,
+                phik_from_grid_pallas,
+            )
+
+            g0 = jax.tree.map(lambda a: a[0], grids)
+            phik = phik_from_grid_pallas(
+                pack_beliefs(grids.data), g0, domain, self.config.num_basis,
+                self.config.grid_samples, sensor_radius_cells,
+            )
         elif domain is not None and domain.origin.ndim == 1:
             phik = self._phik_grid_batch_dense_fn(grids, domain, sensor_radius_cells)
         else:
@@ -838,7 +873,8 @@ class Engine:
 
     def replan_refresh_mi(self, sc: Scenarios, grids: GridMap, world: World,
                           sensor_radius_cells: int = 0,
-                          domain: Optional[Domain] = None):
+                          domain: Optional[Domain] = None,
+                          use_mi_kernel: bool = False):
         """One batched tick including the per-tick MUTUAL-INFORMATION target
         refresh (config 4's hot path; what bench.py's MI metric measures).
         ``world`` carries the distance field built from the same beliefs at
@@ -851,13 +887,14 @@ class Engine:
         jits = getattr(self, "_replan_refresh_mi_jits", None)
         if jits is None:
             jits = self._replan_refresh_mi_jits = {}
-        key = (sensor_radius_cells, domain is not None and domain.origin.ndim == 1)
+        key = (sensor_radius_cells,
+               domain is not None and domain.origin.ndim == 1, use_mi_kernel)
         f = jits.get(key)
         if f is None:
             f = self._shard_jit(self._refresh_mi_and_replan_fn,
-                                static_argnums=(3,), donate=(0,))
+                                static_argnums=(3, 5), donate=(0,))
             jits[key] = f
-        return f(sc, grids, world, sensor_radius_cells, domain)
+        return f(sc, grids, world, sensor_radius_cells, domain, use_mi_kernel)
 
     def _explore_fn(self, sc: Scenarios, phik, world: World, n_ticks: int):
         def body(carry, _):

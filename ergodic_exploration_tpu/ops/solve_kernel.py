@@ -73,6 +73,21 @@ class SolveParams:
     # transposes, no patch HBM round trip)
     map_h: int = 0
     map_w: int = 0
+    # in-kernel GMM target refresh (round-4 one-kernel tick): when J > 0 the
+    # phik operand is replaced by transposed GMM parameters + the (chunked)
+    # sample lattice and dense basis table, the grid gains an inner
+    # "arbitrary" lattice-chunk axis, and phi_k accumulates in VMEM scratch
+    # — SURVEY.md section 4.2 steps 1-7 as ONE Pallas program. masked:
+    # free-space mask folded into the D table (engine shared_maps fold);
+    # the normalizer then repairs via the k=(0,0) coefficient.
+    J: int = 0
+    chunk: int = 1024
+    masked_refresh: bool = False
+    # tile-predicated DWA: skip the candidate sweep for scenario tiles with
+    # no crashing validation code (the common case on open maps). u_dwa /
+    # feasible for non-crashed lanes are don't-cares (u_cmd ignores them);
+    # dwa_feasible is meaningful only where dwa_active.
+    lazy_dwa: bool = True
 
 
 def model_rows(model):
@@ -124,13 +139,75 @@ def _make_kernel(sp: SolveParams, sps: "SafetyParams | None" = None):
     H, K, nu, P, nb = sp.H, sp.K, sp.nu, sp.P, sp.nb
     dt = float(sp.dt)
 
-    def kernel(x_r, u_r, hist_r, nh_r, phik_r, pd_r, pgx_r, pgy_r,
-               ps_r, po_r, pr_r, do_r, dl_r, cks_r, *rest):
-        if sps is None:
-            (un_r, met_r, bc_r, cko_r) = rest
+    def kernel(*refs):
+        it = iter(refs)
+        x_r = next(it)
+        u_r = next(it)
+        hist_r = next(it)
+        nh_r = next(it)
+        if sp.J:  # in-kernel refresh operands replace phik
+            mx_r, my_r, ia_r, ib_r, ic_r, nr_r = (next(it) for _ in range(6))
+            pts_r, dt_r, mck_r = next(it), next(it), next(it)
+            phik_r = None
         else:
-            (vb_r, un_r, met_r, bc_r, cko_r, code_r, udwa_r, feas_r) = rest
+            phik_r = next(it)
+        pd_r, pgx_r, pgy_r = next(it), next(it), next(it)
+        ps_r, po_r, pr_r, do_r, dl_r, cks_r = (next(it) for _ in range(6))
+        if sps is None:
+            vb_r = None
+            un_r, met_r, bc_r, cko_r = (next(it) for _ in range(4))
+        else:
+            vb_r = next(it)
+            un_r, met_r, bc_r, cko_r = (next(it) for _ in range(4))
+            code_r, udwa_r, feas_r = next(it), next(it), next(it)
         T = x_r.shape[-1]
+
+        # ---- in-kernel target refresh (sp.J): the per-tick GMM phi_k
+        # reduction over the 10k-sample lattice runs HERE, VMEM-resident —
+        # SURVEY.md section 4.2 step 1 folded into the same program as
+        # steps 2-7. phi is evaluated chunk-by-chunk (static unrolled
+        # slices; one (chunk, T) sheet live at a time) and contracted
+        # against the resident transposed D table on the MXU. Math matches
+        # engine._phik_from_gmm_fn's shared-maps fold exactly (free-space
+        # mask folded into D at trace time, k=(0,0) renormalizer, mask_ck
+        # degenerate fallback) — see replan_batched_fused for the algebra.
+        if sp.J:
+            Npad = dt_r.shape[-1]
+            acc = jnp.zeros((K * K, T), jnp.float32)
+            tot = jnp.zeros((1, T), jnp.float32)
+            for k0 in range(0, Npad, sp.chunk):
+                sl = slice(k0, k0 + sp.chunk)
+                px_c = pts_r[0, sl]  # (chunk,)
+                py_c = pts_r[1, sl]
+                phi = jnp.zeros((sp.chunk, T), jnp.float32)
+                for c in range(sp.J):
+                    dx = px_c[:, None] - mx_r[c, :][None, :]  # (chunk, T)
+                    dy = py_c[:, None] - my_r[c, :][None, :]
+                    q = (ia_r[c, :][None, :] * dx * dx
+                         + 2.0 * ib_r[c, :][None, :] * dx * dy
+                         + ic_r[c, :][None, :] * dy * dy)
+                    phi = phi + nr_r[c, :][None, :] * jnp.exp(-0.5 * q)
+                tot = tot + jnp.sum(phi, axis=0, keepdims=True)
+                acc = acc + jax.lax.dot(
+                    dt_r[:, sl], phi,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            tot_s = jnp.maximum(tot, 1e-12)
+            if sp.masked_refresh:
+                # ck = acc / (h00 * acc[(0,0)]), fallback mask_ck — the
+                # normalize-by-tot and divide-by-(h00 ck[0,0]) steps of the
+                # XLA fold collapse (tot cancels); the degenerate tests
+                # reproduce engine._renorm's exact thresholds.
+                h00 = jnp.sqrt(dl_r[0, :] * dl_r[1, :])[None, :]  # (1, T)
+                ok = (tot > 1e-12) & (h00 * acc[0:1, :] / tot_s > 1e-12)
+                phik_flat = jnp.where(
+                    ok, acc / jnp.maximum(h00 * acc[0:1, :], 1e-30), mck_r[:, :]
+                )
+            else:
+                phik_flat = jnp.where(tot > 1e-12, acc / tot_s, mck_r[:, :])
+        else:
+            phik_flat = phik_r[:, :]
         # basis constants built in-kernel from iota (pallas kernels cannot
         # capture array constants): Sobolev weights Lambda_k and the
         # normalization factor sqrt(c(k1) c(k2)) (basis.lambda_weights /
@@ -274,7 +351,7 @@ def _make_kernel(sp: SolveParams, sps: "SafetyParams | None" = None):
         else:
             hist_kk = hist_r[:, :].reshape(K, K, T)
         ck = (hist_kk + roll) / M[None, None, :]
-        dkk = ck - phik_r[:, :].reshape(K, K, T)
+        dkk = ck - phik_flat.reshape(K, K, T)
         met_r[0, :] = jnp.sum(lam_c * dkk * dkk, axis=(0, 1))
 
         # ---- 4. ergodic gradient at the knots (basis.ergodic_gradient) ----
@@ -378,38 +455,48 @@ def _make_kernel(sp: SolveParams, sps: "SafetyParams | None" = None):
         ).reshape(K * K, T)
 
         # ---- 8. merged safety stage (validation + DWA) on the static
-        # central crop of the SAME VMEM-resident patch ----
+        # central crop of the SAME VMEM-resident patch. With sp.lazy_dwa
+        # the candidate sweep runs only for tiles where some lane's
+        # validation code crashed (the sweep is ~40% of the kernel on open
+        # maps); u_dwa/feasible for non-crashed lanes are don't-cares. ----
         if sps is not None:
             o = (P - sps.Pc) // 2  # PatchField.center_crop offset
             u0 = [u_new[0][i] for i in range(nu)]
-            code, udwa, feasible = _safety_ops(
-                sps, x_r, vb_r, u0,
-                pd[o:o + sps.Pc, o:o + sps.Pc, :],
+            G = _safety_geom(
+                sps, x_r, pd[o:o + sps.Pc, o:o + sps.Pc, :],
                 ps_r[0, :] + float(o), ps_r[1, :] + float(o),
                 po_r, pr_r, do_r, dl_r)
+            code, tw0 = _validate_u0(sps, G, u0)
             code_r[0, :] = code
-            feas_r[0, :] = feasible.astype(jnp.int32)
-            for i in range(nu):
-                udwa_r[i, :] = udwa[i]
+            if sp.lazy_dwa:
+                udwa_r[:, :] = jnp.zeros_like(udwa_r)
+                feas_r[0, :] = jnp.ones((T,), jnp.int32)
+
+                @pl.when(jnp.any(code >= 2))
+                def _():
+                    udwa, feasible = _dwa_sweep(sps, G, vb_r, u0, tw0)
+                    feas_r[0, :] = feasible.astype(jnp.int32)
+                    for i in range(nu):
+                        udwa_r[i, :] = udwa[i]
+            else:
+                udwa, feasible = _dwa_sweep(sps, G, vb_r, u0, tw0)
+                feas_r[0, :] = feasible.astype(jnp.int32)
+                for i in range(nu):
+                    udwa_r[i, :] = udwa[i]
 
     return kernel
 
 
-def fused_solve(sp: SolveParams, x, U, hist, nh, phik, pd, pgx, pgy,
-                pstart, porigin, pres, dorigin, dlen, cks,
-                tile: int = 128, interpret=None):
-    """Run the fused descent step. All operands are TRANSPOSED (scenario
-    last): x (3,S), U (H,nu,S), phik/cks (K^2,S), nh/pres (1,S),
-    pd/pgx/pgy (P,P,S), pstart/porigin/dorigin/dlen (2,S).
-
-    ``hist`` is (K^2, S) precomputed history-coefficient sums when
-    ``sp.nb == 0``, or the (2, nb, S) compacted sampled positions when
-    ``sp.nb > 0`` (the cos tables + outer-product reduction then run
-    in-kernel). ``cks`` is the running basis sum, appended in-kernel.
-
-    Returns (U_new (H,nu,S), metric (1,S), barrier_mean (1,S),
-    ck_sum_new (K^2,S)).
-    """
+def _fused_call(sp: SolveParams, sps, x, U, hist, nh, phik, pd, pgx, pgy,
+                pstart, porigin, pres, dorigin, dlen, cks, vb,
+                tile, interpret, refresh_ops):
+    """Shared pallas_call builder for :func:`fused_solve` (sps=None) and
+    :func:`fused_solve_safety`. With ``refresh_ops`` (sp.J > 0) the phik
+    operand is REPLACED by the in-kernel GMM refresh operands:
+    (mx, my, ia, ib, ic, nr) each (J, S) transposed parameters, ptsT
+    (2, Npad) padded lattice, DT (K^2, Npad) transposed (mask-folded) dense
+    basis table, mask_ck (K^2, 1) degenerate fallback — pts/DT/mask_ck are
+    scenario-invariant full blocks, resident across tiles."""
     S = x.shape[-1]
     while S % tile != 0:
         tile //= 2
@@ -425,39 +512,88 @@ def fused_solve(sp: SolveParams, x, U, hist, nh, phik, pd, pgx, pgy,
                             (lambda i, _nd=nd: (0,) * _nd + (i,)),
                             memory_space=pltpu.VMEM)
 
+    def full(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(dims, (lambda i, _nd=nd: (0,) * _nd),
+                            memory_space=pltpu.VMEM)
+
     hist_spec = spec(2, sp.nb) if sp.nb else spec(K * K)
     if sp.map_h:  # shared-map chunks: full (map_w, map_h) block every tile
-        pspec = pl.BlockSpec((sp.map_w, sp.map_h), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-        patch_specs = [pspec, pspec, pspec]
+        patch_specs = [full(sp.map_w, sp.map_h)] * 3
     else:
         patch_specs = [spec(P, P), spec(P, P), spec(P, P)]
+    if sp.J:
+        assert refresh_ops is not None and len(refresh_ops) == 9
+        Npad = refresh_ops[6].shape[-1]
+        if Npad % sp.chunk:
+            raise ValueError(f"lattice pad {Npad} not a multiple of chunk {sp.chunk}")
+        target_ops = list(refresh_ops)
+        target_specs = ([spec(sp.J)] * 6
+                        + [full(2, Npad), full(K * K, Npad), full(K * K, 1)])
+    else:
+        target_ops = [phik]
+        target_specs = [spec(K * K)]
+
+    in_specs = [spec(3), spec(H, nu), hist_spec, spec(1), *target_specs,
+                *patch_specs,
+                spec(2), spec(2), spec(1), spec(2), spec(2), spec(K * K)]
+    operands = [x, U, hist, nh, *target_ops, pd, pgx, pgy,
+                pstart, porigin, pres, dorigin, dlen, cks]
+    out_specs = [spec(H, nu), spec(1), spec(1), spec(K * K)]
+    out_shape = [
+        jax.ShapeDtypeStruct((H, nu, S), jnp.float32),
+        jax.ShapeDtypeStruct((1, S), jnp.float32),
+        jax.ShapeDtypeStruct((1, S), jnp.float32),
+        jax.ShapeDtypeStruct((K * K, S), jnp.float32),
+    ]
+    if sps is not None:
+        in_specs.append(spec(3))
+        operands.append(vb)
+        out_specs += [spec(1), spec(nu), spec(1)]
+        out_shape += [
+            jax.ShapeDtypeStruct((1, S), jnp.int32),
+            jax.ShapeDtypeStruct((nu, S), jnp.float32),
+            jax.ShapeDtypeStruct((1, S), jnp.int32),
+        ]
     return pl.pallas_call(
-        _make_kernel(sp),
+        _make_kernel(sp, sps),
         grid=(S // tile,),
-        in_specs=[
-            spec(3), spec(H, nu), hist_spec, spec(1), spec(K * K),
-            *patch_specs,
-            spec(2), spec(2), spec(1), spec(2), spec(2), spec(K * K),
-        ],
-        out_specs=(spec(H, nu), spec(1), spec(1), spec(K * K)),
-        out_shape=(
-            jax.ShapeDtypeStruct((H, nu, S), jnp.float32),
-            jax.ShapeDtypeStruct((1, S), jnp.float32),
-            jax.ShapeDtypeStruct((1, S), jnp.float32),
-            jax.ShapeDtypeStruct((K * K, S), jnp.float32),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(x, U, hist, nh, phik, pd, pgx, pgy, pstart, porigin, pres,
-      dorigin, dlen, cks)
+    )(*operands)
+
+
+def fused_solve(sp: SolveParams, x, U, hist, nh, phik, pd, pgx, pgy,
+                pstart, porigin, pres, dorigin, dlen, cks,
+                tile: int = 128, interpret=None, refresh_ops=None):
+    """Run the fused descent step. All operands are TRANSPOSED (scenario
+    last): x (3,S), U (H,nu,S), phik/cks (K^2,S), nh/pres (1,S),
+    pd/pgx/pgy (P,P,S), pstart/porigin/dorigin/dlen (2,S).
+
+    ``hist`` is (K^2, S) precomputed history-coefficient sums when
+    ``sp.nb == 0``, or the (2, nb, S) compacted sampled positions when
+    ``sp.nb > 0`` (the cos tables + outer-product reduction then run
+    in-kernel). ``cks`` is the running basis sum, appended in-kernel.
+    ``refresh_ops`` (with sp.J > 0): in-kernel GMM target refresh operands
+    replacing ``phik`` (pass phik=None) — see :func:`_fused_call`.
+
+    Returns (U_new (H,nu,S), metric (1,S), barrier_mean (1,S),
+    ck_sum_new (K^2,S)).
+    """
+    return _fused_call(sp, None, x, U, hist, nh, phik, pd, pgx, pgy,
+                       pstart, porigin, pres, dorigin, dlen, cks, None,
+                       tile, interpret, refresh_ops)
 
 
 def fused_solve_safety(sp: SolveParams, sps: "SafetyParams", x, U, hist, nh,
                        phik, pd, pgx, pgy, pstart, porigin, pres, dorigin,
-                       dlen, cks, vb, tile: int = 128, interpret=None):
+                       dlen, cks, vb, tile: int = 128, interpret=None,
+                       refresh_ops=None):
     """:func:`fused_solve` + the SAFETY stage (validation + DWA) in ONE
     pallas program: the safety window is the static central crop of the
     VMEM-resident patch, u0 feeds the validator in-register, and the
@@ -466,52 +602,9 @@ def fused_solve_safety(sp: SolveParams, sps: "SafetyParams", x, U, hist, nh,
     Requires sps.Pc <= sp.P (crop inside the patch)."""
     if sps.Pc > sp.P:
         raise ValueError(f"safety crop {sps.Pc} exceeds patch {sp.P}")
-    S = x.shape[-1]
-    while S % tile != 0:
-        tile //= 2
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    H, K, nu, P = sp.H, sp.K, sp.nu, sp.P
-
-    def spec(*dims):
-        nd = len(dims)
-        return pl.BlockSpec(dims + (tile,),
-                            (lambda i, _nd=nd: (0,) * _nd + (i,)),
-                            memory_space=pltpu.VMEM)
-
-    hist_spec = spec(2, sp.nb) if sp.nb else spec(K * K)
-    if sp.map_h:  # shared-map chunks: full (map_w, map_h) block every tile
-        pspec = pl.BlockSpec((sp.map_w, sp.map_h), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-        patch_specs = [pspec, pspec, pspec]
-    else:
-        patch_specs = [spec(P, P), spec(P, P), spec(P, P)]
-    return pl.pallas_call(
-        _make_kernel(sp, sps),
-        grid=(S // tile,),
-        in_specs=[
-            spec(3), spec(H, nu), hist_spec, spec(1), spec(K * K),
-            *patch_specs,
-            spec(2), spec(2), spec(1), spec(2), spec(2), spec(K * K),
-            spec(3),
-        ],
-        out_specs=(spec(H, nu), spec(1), spec(1), spec(K * K),
-                   spec(1), spec(nu), spec(1)),
-        out_shape=(
-            jax.ShapeDtypeStruct((H, nu, S), jnp.float32),
-            jax.ShapeDtypeStruct((1, S), jnp.float32),
-            jax.ShapeDtypeStruct((1, S), jnp.float32),
-            jax.ShapeDtypeStruct((K * K, S), jnp.float32),
-            jax.ShapeDtypeStruct((1, S), jnp.int32),
-            jax.ShapeDtypeStruct((nu, S), jnp.float32),
-            jax.ShapeDtypeStruct((1, S), jnp.int32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-        interpret=interpret,
-    )(x, U, hist, nh, phik, pd, pgx, pgy, pstart, porigin, pres,
-      dorigin, dlen, cks, vb)
+    return _fused_call(sp, sps, x, U, hist, nh, phik, pd, pgx, pgy,
+                       pstart, porigin, pres, dorigin, dlen, cks, vb,
+                       tile, interpret, refresh_ops)
 
 
 def shared_map_vmem_bytes(cfg, map_h: int, map_w: int, tile: int) -> int:
@@ -530,7 +623,8 @@ def shared_map_vmem_bytes(cfg, map_h: int, map_w: int, tile: int) -> int:
 _SHARED_MAP_VMEM_BUDGET = 6 * 1024 * 1024
 
 
-def replan_batched_fused(cfg, model, state, x, vb, phik, world):
+def replan_batched_fused(cfg, model, state, x, vb, phik, world,
+                         gmm=None, domain=None):
     """One batched replan tick with the fused kernel as the descent core —
     drop-in for ``jax.vmap(ErgodicController.step)`` (same signature modulo
     the leading scenario axis; semantics pinned by tests/test_solve_kernel).
@@ -538,6 +632,13 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
     XLA stages (patch extraction, history sampling, safety, state update)
     sandwich the Pallas core exactly as ``ErgodicController.step`` orders
     them (SURVEY.md section 4.2).
+
+    With ``gmm`` + (unbatched) ``domain`` instead of ``phik`` (pass
+    phik=None; requires cfg.shared_maps), the per-tick GMM TARGET REFRESH
+    runs INSIDE the kernel too — the reference's full tick (SURVEY.md
+    section 4.2 steps 1-7) as one Pallas program. The free-space mask is
+    folded into the dense basis table at trace time (the engine's
+    shared-maps fold; identical normalization algebra, see _make_kernel).
     """
     from ergodic_exploration_tpu.controller import ControllerState, StepDiagnostics
     from ergodic_exploration_tpu.ops import basis
@@ -548,7 +649,7 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
     S = x.shape[0]
     K = cfg.num_basis
     H = cfg.horizon
-    domain = world.domain  # batched leaves (S, ...)
+    bdom = world.domain  # batched leaves (S, ...)
 
     shared_maps = cfg.shared_maps
     if shared_maps:
@@ -581,13 +682,61 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
             world.dist, x[:, :2]
         )
 
+    # ---- in-kernel GMM target refresh operands (gmm + shared domain) ----
+    refresh_ops = None
+    refresh_extra = {}
+    if gmm is not None:
+        if not cfg.shared_maps or domain is None or domain.origin.ndim != 1:
+            raise ValueError(
+                "in-kernel refresh needs cfg.shared_maps and an unbatched domain"
+            )
+        from ergodic_exploration_tpu.ops import basis
+
+        pts = domain.sample_lattice(cfg.grid_samples)  # (N, 2) shared lattice
+        N = pts.shape[0]
+        hk = basis.hk_norm(K, domain.lengths)
+        D = basis.dense_table(basis.tables(pts, K, domain), hk)  # (N, K^2)
+        m = world.free_mask
+        masked = m is not None
+        if masked:
+            m1 = m[0] if m.ndim == 2 else m  # shared_maps: one shared mask
+            D = D * m1.astype(D.dtype)[:, None]
+            mask_ck = jnp.sum(D, axis=0) / jnp.maximum(jnp.sum(m1), 1.0)
+        else:
+            mask_ck = jnp.sum(D, axis=0) / float(N)  # uniform-over-lattice
+        chunk = min(1024, -(-N // 128) * 128)
+        pad = (-N) % chunk
+        if pad:  # far-away pad points: phi underflows to 0, D rows are 0
+            pts = jnp.concatenate([pts, jnp.full((pad, 2), 1.0e6, pts.dtype)])
+            D = jnp.concatenate([D, jnp.zeros((pad, D.shape[1]), D.dtype)])
+        a_c = gmm.covs[..., 0, 0]
+        b_c = gmm.covs[..., 0, 1]
+        c_c = gmm.covs[..., 1, 1]
+        det = a_c * c_c - b_c * b_c
+        refresh_ops = (
+            gmm.means[..., 0].T, gmm.means[..., 1].T,  # (J, S)
+            (c_c / det).T, (-b_c / det).T, (a_c / det).T,
+            (gmm.weights / (2.0 * jnp.pi * jnp.sqrt(det))).T,
+            pts.T, D.T, mask_ck[:, None],
+        )
+        refresh_extra = dict(J=gmm.means.shape[1], chunk=chunk,
+                             masked_refresh=masked)
+
     # history over [buffer || rollout] — same three branches as the
     # controller (ring+batch / ring full-concat / accumulate). The common
     # ring+batch branch only COMPACTS the sampled positions here (one-hot
     # matmul, ops/buffer.py); their cos tables + (K, K) accumulation run
     # inside the kernel (sp.nb > 0).
-    split = jax.vmap(jax.random.split)(state.rng)  # (S, 2, key)
-    rng, sub = split[:, 0], split[:, 1]
+    if cfg.shared_history_draw:
+        # all scenarios hold the SAME key (engine init contract): one split
+        # + broadcast replaces S identical threefry splits (~0.2 ms at
+        # S=4096); bit-identical to the vmapped split of equal keys
+        s2 = jax.random.split(state.rng[0])  # (2, key)
+        rng = jnp.broadcast_to(s2[0][None], state.rng.shape)
+        sub = jnp.broadcast_to(s2[1][None], state.rng.shape)
+    else:
+        split = jax.vmap(jax.random.split)(state.rng)  # (S, 2, key)
+        rng, sub = split[:, 0], split[:, 1]
 
     nb = cfg.buffer_batch if (cfg.history == "ring" and cfg.buffer_batch) else 0
     if nb and cfg.shared_history_draw:
@@ -612,8 +761,12 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
         u = uniform01(jax.tree.map(lambda a: a[0], sub), nb)
         idx = jnp.floor(u * jnp.maximum(count0, 1).astype(u.dtype)).astype(jnp.int32)
         onehot = (idx[None, :] == jnp.arange(cap)[:, None]).astype(jnp.float32)
-        s_all = jnp.matmul(state.buffer.states, onehot,
-                           precision=jax.lax.Precision.HIGHEST)  # (S, 2, nb)
+        # ONE flat (S*2, cap) @ (cap, nb) GEMM — the batched (2, cap) row
+        # pairs fill 4x more MXU sublanes than S separate 2-row matmuls
+        s_all = jnp.matmul(
+            state.buffer.states.reshape(S * 2, cap), onehot,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(S, 2, nb)
         s_buf = jnp.transpose(s_all, (0, 2, 1))  # (S, nb, 2)
         n_hist = jnp.where(state.buffer.count > 0, jnp.float32(nb), 0.0)
 
@@ -629,7 +782,7 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
             return s * (w / hkl)
 
         hist_sum = jax.vmap(hist_red)(
-            s_buf, (n_hist > 0).astype(jnp.float32), domain)  # (S, K, K)
+            s_buf, (n_hist > 0).astype(jnp.float32), bdom)  # (S, K, K)
         hist_op = hist_sum.reshape(S, K * K).T
         nb = 0  # kernel consumes the precomputed sums
     elif nb:
@@ -649,7 +802,7 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
             return ck_sum, hist_count.astype(jnp.float32)
 
         hist_sum, n_hist = jax.vmap(hist_one)(
-            state.buffer, state.ck_sum, state.hist_count, sub, domain
+            state.buffer, state.ck_sum, state.hist_count, sub, bdom
         )
         hist_op = hist_sum.reshape(S, K * K).T
 
@@ -658,7 +811,8 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
     # to the map extent (tiny FAR fields in obstacle-free worlds).
     if shared_maps:
         sp = dataclasses.replace(
-            params_from_config(cfg), P=Pp, nb=nb, map_h=mh, map_w=mw
+            params_from_config(cfg), P=Pp, nb=nb, map_h=mh, map_w=mw,
+            **refresh_extra,
         )
     else:
         sp = dataclasses.replace(
@@ -672,16 +826,17 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
         patch_meta = (patches.start.T.astype(jnp.float32), patches.origin.T,
                       patches.resolution[None, :])
     t3 = lambda a: jnp.transpose(a, (1, 2, 0))
+    wd = world.domain  # batched per-scenario domain leaves (S, 2)
     core_ops = (
         x.T,
         t3(state.U),
         hist_op,
         n_hist[None, :],
-        phik.reshape(S, K * K).T,
+        None if refresh_ops is not None else phik.reshape(S, K * K).T,
         *patch_ops,
         *patch_meta,
-        domain.origin.T,
-        domain.lengths.T,
+        wd.origin.T,
+        wd.lengths.T,
         state.ck_sum.reshape(S, K * K).T,
     )
     if cfg.enable_safety:
@@ -690,7 +845,8 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
         # clamps to the patch size, matching PatchField.center_crop)
         sps = safety_params_from_config(cfg, min(cfg.safety_patch_cells, sp.P))
         Unew_t, met, bc, cko, code_t, udwa_t, feas_t = fused_solve_safety(
-            sp, sps, *core_ops, vb.T, tile=cfg.solve_tile)
+            sp, sps, *core_ops, vb.T, tile=cfg.solve_tile,
+            refresh_ops=refresh_ops)
         U_new = jnp.transpose(Unew_t, (2, 0, 1))  # (S, H, nu)
         u0 = U_new[:, 0]
         code = code_t[0]
@@ -699,7 +855,8 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world):
         use_dwa = code >= CRASH
         u_cmd = jnp.where(use_dwa[:, None], u_dwa, u0)
     else:
-        Unew_t, met, bc, cko = fused_solve(sp, *core_ops, tile=cfg.solve_tile)
+        Unew_t, met, bc, cko = fused_solve(sp, *core_ops, tile=cfg.solve_tile,
+                                           refresh_ops=refresh_ops)
         U_new = jnp.transpose(Unew_t, (2, 0, 1))
         u0 = U_new[:, 0]
         code = jnp.zeros((S,), dtype=jnp.int32)
@@ -804,15 +961,19 @@ def safety_params_from_config(cfg, crop_cells: int) -> SafetyParams:
 _INFEASIBLE = 1.0e9  # keep in sync with ops/dwa.py
 
 
-def _safety_ops(sp: SafetyParams, x_r, vb_r, u0, pd_c, psx, psy,
-                po_r, pr_r, do_r, dl_r):
-    """Validation + DWA math on (..., T) tiles — shared by the standalone
-    safety kernel and the merged solve+safety kernel. ``pd_c`` is the
-    (Pc, Pc, T) clearance window with start (psx, psy); ``u0`` is a list of
-    nu (T,) control components. Returns (code (T,) i32, udwa list, feas)."""
-    nu, Pc = sp.nu, sp.Pc
-    nvx, nvy, nw = sp.samples
-    C = nvx * nvy * nw
+class _SafetyGeom:
+    """Shared closures for the validation + DWA stages (one namespace so the
+    merged kernel can run validation ALWAYS but the sweep lazily)."""
+
+    __slots__ = ("twist", "arc", "step_window", "pose_code", "dwa_clearance",
+                 "T", "x0", "y0", "th0", "do_r", "dl_r")
+
+
+def _safety_geom(sp: SafetyParams, x_r, pd_c, psx, psy, po_r, pr_r, do_r, dl_r):
+    """Geometry/query closures over the (Pc, Pc, T) clearance window ``pd_c``
+    with start (psx, psy)."""
+    Pc = sp.Pc
+    nu = sp.nu
     T = x_r.shape[-1]
     x0, y0, th0 = x_r[0, :], x_r[1, :], x_r[2, :]
     c0, s0 = jnp.cos(th0), jnp.sin(th0)
@@ -871,16 +1032,51 @@ def _safety_ops(sp: SafetyParams, x_r, vb_r, u0, pd_c, psx, psy,
         warn = d < sp.d_safe
         return jnp.where(crash, 2, jnp.where(warn, 1, 0)).astype(jnp.int32)
 
-    # ---- validation of u0 (collision.validate_control) ----
-    vx0, vy0, w0 = twist(u0)
-    code = jnp.zeros((T,), jnp.int32)
-    for t in range(1, sp.val_horizon + 1):
-        px, py = arc(vx0, vy0, w0, sp.val_dt * t)
-        o, Wt = step_window(t, sp.val_horizon)
-        code = jnp.maximum(code, pose_code(px, py, o, Wt))
+    def dwa_clearance(px, py, o, Wt, C):
+        """Nearest-cell clearance for the (C, T) candidate poses."""
+        cells_t = jax.lax.broadcasted_iota(jnp.int32, (Wt, 1), 0).astype(jnp.float32)
+        fx = (px - po_r[0, :][None, :]) / res[None, :] - 0.5 - (psx + float(o))[None, :]
+        fy = (py - po_r[1, :][None, :]) / res[None, :] - 0.5 - (psy + float(o))[None, :]
+        ox = (jnp.round(jnp.clip(fx, 0.0, Wt - 1.001))[:, None, :]
+              == cells_t[None, :, :]).astype(jnp.float32)  # (C, Wt, T)
+        oy = (jnp.round(jnp.clip(fy, 0.0, Wt - 1.001))[:, None, :]
+              == cells_t[None, :, :]).astype(jnp.float32)
+        clearance = jnp.zeros((C, T), jnp.float32)
+        for a in range(Wt):  # clearance = sum_a oy[a] * (pd[a] @ ox)
+            row = jnp.sum(pd_c[o + a, o:o + Wt, :][None, :, :] * ox, axis=1)  # (C, T)
+            clearance = clearance + oy[:, a, :] * row
+        return clearance
 
-    # ---- DWA candidate sweep (ops/dwa.py), VECTORIZED over the C
-    # candidates (leading axis) so only steps and patch rows unroll ----
+    G = _SafetyGeom()
+    G.twist, G.arc, G.step_window, G.pose_code = twist, arc, step_window, pose_code
+    G.T, G.x0, G.y0, G.th0, G.do_r, G.dl_r = T, x0, y0, th0, do_r, dl_r
+    G.dwa_clearance = dwa_clearance
+    return G
+
+
+def _validate_u0(sp: SafetyParams, G, u0):
+    """Validation of u0 (collision.validate_control). Returns (code (T,)
+    i32, (vx0, vy0, w0) — u0's twist, reused by the sweep's cost)."""
+    vx0, vy0, w0 = G.twist(u0)
+    code = jnp.zeros((G.T,), jnp.int32)
+    for t in range(1, sp.val_horizon + 1):
+        px, py = G.arc(vx0, vy0, w0, sp.val_dt * t)
+        o, Wt = G.step_window(t, sp.val_horizon)
+        code = jnp.maximum(code, G.pose_code(px, py, o, Wt))
+    return code, (vx0, vy0, w0)
+
+
+def _dwa_sweep(sp: SafetyParams, G, vb_r, u0, tw0):
+    """DWA candidate sweep (ops/dwa.py), VECTORIZED over the C candidates
+    (leading axis) so only steps and patch rows unroll."""
+    nu = sp.nu
+    nvx, nvy, nw = sp.samples
+    C = nvx * nvy * nw
+    T = G.T
+    vx0, vy0, w0 = tw0
+    Lx, Ly = G.dl_r[0, :], G.dl_r[1, :]
+    do_r = G.do_r
+
     def axis_samples(center, acc, vmax, n):
         if n == 1:
             return [jnp.zeros((T,), jnp.float32)]
@@ -899,23 +1095,13 @@ def _safety_ops(sp: SafetyParams, x_r, vb_r, u0, pd_c, psx, psy,
         sp.finv[i][0] * cvx + sp.finv[i][1] * cvy + sp.finv[i][2] * cw
         for i in range(nu)
     ]  # nu x (C, T)
-    rvx, rvy, rw = twist(u_c)  # realized twists (C, T)
+    rvx, rvy, rw = G.twist(u_c)  # realized twists (C, T)
 
     crash = jnp.zeros((C, T), jnp.bool_)
     for t in range(1, sp.dwa_horizon + 1):
-        o, Wt = step_window(t, sp.dwa_horizon)  # reach-limited sub-window
-        cells_t = jax.lax.broadcasted_iota(jnp.int32, (Wt, 1), 0).astype(jnp.float32)
-        px, py = arc(rvx, rvy, rw, sp.dwa_dt * t)  # (C, T)
-        fx = (px - po_r[0, :][None, :]) / res[None, :] - 0.5 - (psx + float(o))[None, :]
-        fy = (py - po_r[1, :][None, :]) / res[None, :] - 0.5 - (psy + float(o))[None, :]
-        ox = (jnp.round(jnp.clip(fx, 0.0, Wt - 1.001))[:, None, :]
-              == cells_t[None, :, :]).astype(jnp.float32)  # (C, Wt, T)
-        oy = (jnp.round(jnp.clip(fy, 0.0, Wt - 1.001))[:, None, :]
-              == cells_t[None, :, :]).astype(jnp.float32)
-        clearance = jnp.zeros((C, T), jnp.float32)
-        for a in range(Wt):  # clearance = sum_a oy[a] * (pd[a] @ ox)
-            row = jnp.sum(pd_c[o + a, o:o + Wt, :][None, :, :] * ox, axis=1)  # (C, T)
-            clearance = clearance + oy[:, a, :] * row
+        o, Wt = G.step_window(t, sp.dwa_horizon)  # reach-limited sub-window
+        px, py = G.arc(rvx, rvy, rw, sp.dwa_dt * t)  # (C, T)
+        clearance = G.dwa_clearance(px, py, o, Wt, C)
         inside = ((px >= do_r[0, :][None, :]) & (px <= (do_r[0, :] + Lx)[None, :])
                   & (py >= do_r[1, :][None, :]) & (py <= (do_r[1, :] + Ly)[None, :]))
         crash = crash | (~inside) | (clearance - sp.b_radius <= 0.0)
@@ -942,6 +1128,17 @@ def _safety_ops(sp: SafetyParams, x_r, vb_r, u0, pd_c, psx, psy,
         jnp.where(feasible, jnp.sum(onehot * u_c[i], axis=0), 0.0)
         for i in range(nu)
     ]
+    return udwa, feasible
+
+
+def _safety_ops(sp: SafetyParams, x_r, vb_r, u0, pd_c, psx, psy,
+                po_r, pr_r, do_r, dl_r):
+    """Validation + DWA math on (..., T) tiles — the standalone safety
+    kernel's (unconditional) composition of :func:`_validate_u0` and
+    :func:`_dwa_sweep`. Returns (code (T,) i32, udwa list, feas)."""
+    G = _safety_geom(sp, x_r, pd_c, psx, psy, po_r, pr_r, do_r, dl_r)
+    code, tw0 = _validate_u0(sp, G, u0)
+    udwa, feasible = _dwa_sweep(sp, G, vb_r, u0, tw0)
     return code, udwa, feasible
 
 

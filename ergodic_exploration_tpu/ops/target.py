@@ -217,7 +217,14 @@ def blur_count_matrix(n: int, radius: int, dtype=jnp.float32):
 
 def sampling_one_hots(grid, grid_samples, domain):
     """One-hot nearest-cell sampling matrices (Ax (nsx, W), Ay (nsy, H))
-    from the separable lattice of ``domain`` into ``grid``'s cells."""
+    from the separable lattice of ``domain`` into ``grid``'s cells.
+
+    Boundary caveat: a lattice point that lands EXACTLY on a half-cell
+    boundary makes the nearest-cell round ulp-sensitive to XLA fusion (the
+    same program can pick adjacent cells eager vs jitted, or across
+    kernels). Geometries whose lattice divides the cell size evenly (e.g.
+    100 samples over 100 cells) are safe; parity tests should avoid exact
+    boundaries (see tests/test_mi_kernel.py)."""
     h, w = grid.shape
     nsx, nsy = grid_samples
     fx = (jnp.arange(nsx, dtype=jnp.float32) + 0.5) / nsx

@@ -27,7 +27,12 @@ def summarize(diag, elapsed_s: Optional[float] = None) -> dict:
         "ergodic_metric_max": float(em.max()),
         "barrier_cost_mean": float(np.asarray(diag.barrier_cost, np.float64).mean()),
         "dwa_fallback_rate": float(np.asarray(diag.dwa_active, np.float64).mean()),
-        "dwa_infeasible_rate": float(1.0 - np.asarray(diag.dwa_feasible, np.float64).mean()),
+        # infeasible AMONG ACTIVE fallbacks: dwa_feasible is meaningful only
+        # where dwa_active (the fused kernel skips the sweep for tiles with
+        # no crash — solve_kernel.py lazy_dwa)
+        "dwa_infeasible_rate": float(np.asarray(
+            np.asarray(diag.dwa_active) & ~np.asarray(diag.dwa_feasible),
+            np.float64).mean()),
         "diverged_rate": float(np.asarray(diag.diverged, np.float64).mean()),
         "collision_warn_rate": float((np.asarray(diag.collision_code) == 1).mean()),
         "collision_crash_rate": float((np.asarray(diag.collision_code) >= 2).mean()),

@@ -200,3 +200,71 @@ def test_fused_explore_matches_vmapped():
         outs[fused] = (np.asarray(out.trajectory), np.asarray(out.controls))
     np.testing.assert_allclose(outs[True][0], outs[False][0], atol=5e-5)
     np.testing.assert_allclose(outs[True][1], outs[False][1], atol=5e-5)
+
+
+def test_in_kernel_refresh_tick_matches_two_stage():
+    """Round-4 one-kernel tick: replan_refresh with the GMM target refresh
+    folded INTO the merged Pallas kernel (shared_maps + shared domain) must
+    match the unfused two-stage path (per-scenario masked XLA refresh +
+    vmapped controller) over a multi-tick closed batch — the full SURVEY
+    section-4.2 tick as one program."""
+    cfg, domain, x0, grids, gmm = _case("cart")
+    base = cfg.replace(shared_history_draw=True)
+    outs = {}
+    for one_kernel in (False, True):
+        eng = Engine(base.replace(use_fused_solve=one_kernel,
+                                  shared_maps=one_kernel))
+        sc = eng.init_scenarios(x0)
+        world = eng.prepare_world(grids)
+        us, mets, codes = [], [], []
+        for _ in range(3):
+            sc, u, diag = eng.replan_refresh(sc, gmm, domain, world)
+            us.append(np.asarray(u))
+            mets.append(np.asarray(diag.ergodic_metric))
+            codes.append(np.asarray(diag.collision_code))
+        outs[one_kernel] = (np.stack(us), np.stack(mets), np.stack(codes))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], atol=5e-5)
+    np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-4)
+    np.testing.assert_array_equal(outs[True][2], outs[False][2])
+
+
+def test_in_kernel_refresh_unmasked_empty_world():
+    """One-kernel tick on an obstacle-free world (free_mask None): the
+    UNMASKED in-kernel normalizer branch must match the two-stage path."""
+    cfg, domain, x0, grids, gmm = _case("cart")
+    base = cfg.replace(shared_history_draw=True, enable_safety=False)
+    S = x0.shape[0]
+    outs = {}
+    for one_kernel in (False, True):
+        eng = Engine(base.replace(use_fused_solve=one_kernel,
+                                  shared_maps=one_kernel))
+        sc = eng.init_scenarios(x0)
+        world = eng.empty_world(domain, S)
+        sc, u, diag = eng.replan_refresh(sc, gmm, domain, world)
+        outs[one_kernel] = (np.asarray(u), np.asarray(diag.ergodic_metric))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], atol=5e-5)
+    np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-4)
+
+
+def test_in_kernel_refresh_degenerate_mask_fallback():
+    """A fully-occupied shared map (masked phi underflows to ~0 everywhere)
+    must fall back to uniform-over-mask IDENTICALLY in-kernel and on the
+    XLA fold path (engine._renorm parity; VERDICT r2 weak 6 lineage)."""
+    cfg, domain, x0, grids, gmm = _case("cart")
+    base = cfg.replace(shared_history_draw=True)
+    S = x0.shape[0]
+    # GMM far outside the domain -> phi underflows on every free cell
+    far_gmm = target_ops.GaussianMixture.create(
+        means=np.full((S, 2, 2), 80.0, np.float32),
+        covs=np.tile((0.05 * np.eye(2, dtype=np.float32))[None, None], (S, 2, 1, 1)),
+        weights=np.ones((S, 2), np.float32),
+    )
+    outs = {}
+    for one_kernel in (False, True):
+        eng = Engine(base.replace(use_fused_solve=one_kernel,
+                                  shared_maps=one_kernel))
+        sc = eng.init_scenarios(x0)
+        world = eng.prepare_world(grids)
+        sc, u, diag = eng.replan_refresh(sc, far_gmm, domain, world)
+        outs[one_kernel] = np.asarray(u)
+    np.testing.assert_allclose(outs[True], outs[False], atol=5e-5)
