@@ -851,16 +851,16 @@ class Engine:
             phik = self._phik_grid_sharded_fn(grids, sensor_radius_cells)
         elif use_mi_kernel and domain is not None and domain.origin.ndim == 1:
             # VMEM-resident Pallas MI refresh (ops/mi_kernel.py): entropy +
-            # blur-folded resample + contraction in one pass — no (S, H, W)
+            # roll-blur + free mask + resample-folded cosine contraction in
+            # one pass over the NATIVE (S*h, w) belief layout — no (S, H, W)
             # entropy or (S, h, nsx) intermediates through HBM
             from ergodic_exploration_tpu.ops.mi_kernel import (
-                pack_beliefs,
                 phik_from_grid_pallas,
             )
 
             g0 = jax.tree.map(lambda a: a[0], grids)
             phik = phik_from_grid_pallas(
-                pack_beliefs(grids.data), g0, domain, self.config.num_basis,
+                grids.data, g0, domain, self.config.num_basis,
                 self.config.grid_samples, sensor_radius_cells,
             )
         elif domain is not None and domain.origin.ndim == 1:
@@ -984,8 +984,10 @@ class Engine:
 
         Requires identically-shaped grids sharing one domain (the batched
         engine's standard setup). Returns (Scenarios, belief GridMap,
-        coverage (n_refreshes, ) history, trajectory (n_refreshes,
-        refresh_every, S, 3)).
+        coverage (n_refreshes,) history, trajectory (n_refreshes,
+        refresh_every, S, 3), ergodic metric (n_refreshes, refresh_every, S)
+        — the per-tick metric against each refresh's CURRENT MI target, the
+        config-4 quality curve).
         """
         from ergodic_exploration_tpu.ops import sensor
 
@@ -1013,11 +1015,12 @@ class Engine:
                     world = jax.vmap(self._world_one)(belief_c)
                     out = self._explore_fn(sc_c, phik, world, refresh_every)
                     return (out.scenarios, belief_c), (
-                        sensor.fraction_known(belief_c), out.trajectory)
+                        sensor.fraction_known(belief_c), out.trajectory,
+                        out.diag.ergodic_metric)
 
-                (sc2, b2), (cov, traj) = jax.lax.scan(
+                (sc2, b2), (cov, traj, em) = jax.lax.scan(
                     chunk, (sc_, belief_), None, length=n_refreshes)
-                return sc2, b2, cov, traj
+                return sc2, b2, cov, traj, em
 
             f = self._shard_jit(run, donate=(0,))
             jits[key] = f

@@ -9,7 +9,7 @@ import pytest
 from ergodic_exploration_tpu.config import default_config
 from ergodic_exploration_tpu.engine import Engine
 from ergodic_exploration_tpu.grid import Domain, GridMap
-from ergodic_exploration_tpu.ops.mi_kernel import pack_beliefs, phik_from_grid_pallas
+from ergodic_exploration_tpu.ops.mi_kernel import phik_from_grid_pallas
 
 pytestmark = pytest.mark.fused
 
@@ -43,11 +43,10 @@ def test_mi_kernel_matches_dense_path(radius):
         lambda g: eng._phik_grid_batch_dense_fn(g, DOM, radius))(grids)
 
     g0 = jax.tree.map(lambda a: a[0], grids)
-    bT = pack_beliefs(grids.data)
     out = jax.jit(
         lambda b: phik_from_grid_pallas(
             b, g0, DOM, cfg.num_basis, cfg.grid_samples,
-            sensor_radius_cells=radius))(bT)
+            sensor_radius_cells=radius))(grids.data)
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)

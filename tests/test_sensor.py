@@ -109,7 +109,7 @@ def test_explore_mapping_fused_matches_host_loop():
     x0 = np.array([[0.4, 0.4, 0.5], [1.1, 1.1, -2.0]], np.float32)
 
     eng = Engine(cfg)
-    sc_f, belief_f, cov_f, traj_f = eng.explore_mapping_fused(
+    sc_f, belief_f, cov_f, traj_f, em_f = eng.explore_mapping_fused(
         eng.init_scenarios(x0), truth, n_refreshes=3, refresh_every=5,
         sensor_range=0.5)
     out_h, belief_h, cov_h = Engine(cfg).explore_mapping(
@@ -117,6 +117,7 @@ def test_explore_mapping_fused_matches_host_loop():
         sensor_range=0.5, sensor_model="raycast")
 
     assert traj_f.shape == (3, 5, S, 3)
+    assert em_f.shape == (3, 5, S) and bool(np.isfinite(np.asarray(em_f)).all())
     np.testing.assert_array_equal(np.asarray(belief_f.data), np.asarray(belief_h.data))
     np.testing.assert_allclose(np.asarray(cov_f), np.asarray(cov_h), atol=1e-6)
     np.testing.assert_allclose(

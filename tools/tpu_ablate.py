@@ -35,12 +35,9 @@ def main():
     base_cfg = engine.config
 
     def tick_time(label, cfg=None, use_world=True, refresh=True, tile=None):
+        if tile is not None:  # round-4: tile rides config (ADVICE r3 item 4)
+            cfg = (cfg or base_cfg).replace(solve_tile=tile)
         eng = engine if cfg is None else Engine(cfg)
-        if tile is not None:
-            import ergodic_exploration_tpu.ops.solve_kernel as sk
-
-            orig = sk.fused_solve.__defaults__
-            sk.fused_solve.__defaults__ = (tile, orig[1])
         try:
             if refresh:
                 fn = lambda sc_, gmm_, world_: eng._refresh_and_replan_fn(
@@ -55,9 +52,9 @@ def main():
             sec = time_chained(f, args, iters=iters, carry_index=None)
             log(f"{label:46s} {sec * 1e3:7.3f} ms  ({S / sec:,.0f}/s)")
             return sec
-        finally:
-            if tile is not None:
-                sk.fused_solve.__defaults__ = orig
+        except Exception as e:
+            log(f"{label:46s} FAILED {type(e).__name__}: {str(e)[:120]}")
+            return float("nan")
 
     results = {}
     results["full"] = tick_time("FULL tick (refresh+replan, fused)")
