@@ -135,7 +135,7 @@ def bench_throughput_mi(S=4096, iters=50, sensor_radius_cells=3):
     return S * iters / dt
 
 
-def bench_latency(n=128, reps=20, group=5):
+def bench_latency(n=256, reps=24, group=8):
     """Per-replan device latency for a single scenario: chain-difference
     (t(2n) - t(n)) / n cancels the fixed tunnel round trip.
 
@@ -144,7 +144,10 @@ def bench_latency(n=128, reps=20, group=5):
     Raw chain-difference samples can go negative at sub-ms latencies (two
     noisy chain timings subtracted); group means average that noise out, so
     the reported spread (min/max GROUP MEAN) stays positive and two
-    consecutive runs agree well inside the 1.3x criterion.
+    consecutive runs agree well inside the 1.3x criterion. Round-4 sizing:
+    n=128/group=5 still produced one negative group mean (-0.1 ms at the
+    0.5 ms scale); n=256 halves per-sample noise and group=8 cuts the
+    group-mean sigma by another ~25%.
     """
     import jax
 
@@ -228,7 +231,11 @@ def main():
     import os
     import threading
 
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "520"))
+    # Degraded claim leases on this attachment can stall the FIRST device op
+    # for 8-18 minutes (round-4 measurements; see CLAUDE.md). The watchdog
+    # must outlast that — a premature os._exit mid-claim is itself an
+    # unclean death that degrades the next claim further.
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
     result = {}
 
     def work():

@@ -10,28 +10,32 @@ its NATIVE (S*h, w) row layout and only the (K, S*Kp) raw coefficients come
 back (VERDICT r3 next-round 2; SURVEY.md section 3 "Information-map target"
 per-tick semantics).
 
-Design (v2 — measured on v5e; v1's lane-major layout needed a host-side
-(S, h, w) -> (h, S*wp) pack that alone cost 3.4 ms, more than the kernel):
+Design (v4 — each choice measured on v5e: v1's lane-major layout needed a
+host-side (S, h, w) -> (h, S*wp) pack that alone cost 3.4 ms, more than the
+kernel; v2's minor-dim-100 block loads ran ~8x off the DMA floor; v3's
+extra in-kernel relayouts for a shared y-blur dot cost more than they
+saved):
 
-- NATIVE LAYOUT: the (S, h, w) belief batch reshapes FREE to (S*h, w) rows
-  (s, iy); blocks are (sc*h, w) scenario chunks. No transposes touch HBM.
+- NEAR-NATIVE LAYOUT: the beliefs are lane-padded once in XLA (contiguous
+  last-dim pad) and reshape FREE to (S*h, wp) rows (s, iy); blocks are
+  (sc*h, wp) scenario chunks at full DMA rate. No transposes touch HBM.
 - RESAMPLE FOLDED INTO THE COSINES: nearest-cell sampling is one-hot
   selection, so it commutes with the elementwise mask product and folds
-  into the contraction tables at trace time: cxA = Ax^T Cx (w, Kp) and
+  into the contraction tables at trace time: cxA = Ax^T Cx (wp, Kp) and
   cyA = Cy^T Ay (K, h). The two lattice-resample GEMM pairs of the dense
   path vanish; the kernel works entirely in CELL space and stays exact for
   ANY lattice (duplicate/subset cell selections sum correctly).
-- ROLL-BLUR: the edge-clamped box blur (ops/target.blur_count_matrix
-  semantics) is 4r clamp-shift-adds on the VPU — iterated
-  where(i >= 1, roll(x, 1), x) composes to x[clip(i-k, 0)] exactly; the
-  row mask uses iy = row % h so shifts never cross a scenario boundary.
-  Replaces two more GEMM pairs.
-- The one in-kernel relayout is tiny: (sc, h, Kp) -> (h, sc*Kp) on the
-  post-x-contraction (sc*h, Kp) intermediate (axis swap of non-minor dims,
-  lane dim untouched), feeding the final narrow (K, h) @ (h, sc*Kp) dot.
-- Split-precision dots: f32 ~ bf16(hi) + bf16(lo); hi@hi + hi@lo + lo@hi
-  (the lo@lo term is ~2^-34 relative — dropped) recovers ~1e-6 relative
-  accuracy at 3 DEFAULT-precision MXU passes.
+- EDGE-CLAMPED BOX BLUR (ops/target.blur_count_matrix semantics) with NO
+  relayout: x as one MXU dot against the zero-padded banded count matrix
+  BxT (exact small integers -> exact in bf16; blur_mode="rolls" swaps in
+  VPU clamp-shifts instead), y as 2r iterated clamp-shifts on sublanes —
+  where(i >= 1, roll(x, 1), x) composes to x[clip(i-k, 0)] exactly, and
+  the iy = row % h mask keeps shifts inside each scenario chunk.
+- ONE in-kernel relayout total: (sc, h, Kp) -> (h, sc*Kp) on the small
+  post-x-contraction intermediate, feeding the final narrow (K, h) dot.
+- Split-precision dots: f32 ~ bf16(hi) + bf16(lo); 2 DEFAULT passes when
+  one side is integer-exact (the blur), 3 passes (lo@lo ~ 2^-34 dropped)
+  for the cosine contractions — ~1e-6 relative accuracy overall.
 
 Parity vs the XLA dense path is pinned by tests/test_mi_kernel.py.
 """
@@ -59,41 +63,58 @@ def _split_dot3(a, b):
     return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
-def _make_kernel(sc: int, h: int, w: int, K: int, Kp: int, r: int,
-                 occupied_threshold: float, eps: float):
-    def kernel(b_r, cxa_r, cya_r, out_r):
-        b = b_r[:, :]  # (sc*h, w) rows are (s, iy)
-        # entropy of the occupancy probability (grid.prob + target.entropy)
+def _split_dot2p(a, b):
+    """dot(a, b) ~ fp32 from 2 DEFAULT passes; b must be EXACT in bf16
+    (the banded blur count matrices: small integers)."""
+    ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+    al = a - ah
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                          precision=_DEF)
+    return d(ah, b) + d(al, b)
+
+
+def _make_kernel(sc: int, h: int, w: int, wp: int, K: int, Kp: int, r: int,
+                 occupied_threshold: float, eps: float,
+                 blur_mode: str = "xdot"):
+    def kernel(b_r, bxt_r, cxa_r, cya_r, out_r):
+        b = b_r[:, :]  # (sc*h, wp) rows are (s, iy); lanes >= w are pad
+        # entropy of the occupancy probability (grid.prob + target.entropy).
+        # Pad lanes carry junk entropy but every downstream contraction
+        # (BxT pad rows, cxA pad rows) has ZERO weights there.
         p = jnp.clip(jnp.where(b < 0.0, 0.5, b), eps, 1.0 - eps)
         e = -(p * jnp.log(p) + (1.0 - p) * jnp.log1p(-p))
         # free mask (~grid.occupied): unknown cells are NOT obstacles
         z = (b < occupied_threshold).astype(jnp.float32)
 
-        # separable EDGE-CLAMPED box blur (ops/target.blur_count_matrix
-        # semantics: out-of-range taps clamp to the edge cell), via iterated
-        # clamp-shifts on the VPU: clampshift(x)[i] = x[clip(i-1, 0)], so
-        # clampshift^k(x)[i] = x[clip(i-k, 0)] exactly. The row mask uses
-        # iy = row % h so shifts never cross a scenario chunk boundary.
-        ix = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+        # ---- x blur (edge-clamped box, blur_count_matrix semantics) ----
+        if blur_mode == "xdot":
+            # one MXU dot against the banded count matrix: zero pad
+            # rows/cols keep the lane pad inert, clamp semantics live in BxT
+            t1 = _split_dot2p(e, bxt_r[:, :])  # (sc*h, wp)
+        else:  # "rolls": iterated clamp-shifts on lanes (VPU)
+            ix = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+            t1 = e
+            dn, up = e, e
+            for _ in range(r):
+                dn = jnp.where(ix >= 1, jnp.roll(dn, 1, axis=1), dn)
+                up = jnp.where(ix < w - 1, jnp.roll(up, -1, axis=1), up)
+                t1 = t1 + dn + up
+        # ---- y blur: iterated clamp-shifts on sublanes (VPU). The row
+        # mask uses iy = row % h so shifts never cross a scenario chunk;
+        # clampshift^k(x)[i] = x[clip(i-k, 0)] exactly. No relayouts. ----
         iy = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, b.shape, 0),
                          jnp.int32(h))
-        eb = e
-        dn, up = e, e
-        for _ in range(r):
-            dn = jnp.where(ix >= 1, jnp.roll(dn, 1, axis=1), dn)
-            up = jnp.where(ix < w - 1, jnp.roll(up, -1, axis=1), up)
-            eb = eb + dn + up
-        ebb = eb
-        dn, up = eb, eb
+        t2 = t1
+        dn, up = t1, t1
         for _ in range(r):
             dn = jnp.where(iy >= 1, jnp.roll(dn, 1, axis=0), dn)
             up = jnp.where(iy < h - 1, jnp.roll(up, -1, axis=0), up)
-            ebb = ebb + dn + up
-        vals = jnp.maximum(ebb * z, 0.0)  # (sc*h, w) cell-space MI field
+            t2 = t2 + dn + up
+        vals = jnp.maximum(t2 * z, 0.0)  # (sc*h, wp) cell-space MI field
 
-        # x contraction with the resample-folded cosine table
+        # x contraction with the resample-folded cosine table (no relayout)
         w1 = _split_dot3(vals, cxa_r[:, :])  # (sc*h, Kp)
-        # (sc, h, Kp) -> (h, sc*Kp): the only in-kernel relayout (tiny)
+        # the ONE relayout: (sc, h, Kp) -> (h, sc*Kp), then the narrow y dot
         w2 = jnp.transpose(w1.reshape(sc, h, Kp), (1, 0, 2)).reshape(
             h, sc * Kp)
         out_r[:, :] = _split_dot3(cya_r[:, :], w2)  # (K, sc*Kp)
@@ -111,30 +132,35 @@ def _pick_sc(S: int) -> int:
 
 
 def mi_operands(g0, domain, K: int, grid_samples, sensor_radius_cells: int,
-                Kp: int):
-    """Trace-time operands (shared geometry): the resample-folded cosine
-    tables cxA = Ax^T Cx (w, Kp) and cyA = Cy^T Ay (K, h), plus the raw
-    lattice cosine tables for the degenerate-target fallback."""
+                Kp: int, wp: int):
+    """Trace-time operands (shared geometry): the zero-padded banded blur
+    count matrix BxT (wp, wp), the resample-folded cosine tables
+    cxA = Ax^T Cx (wp, Kp) and cyA = Cy^T Ay (K, h), plus the raw lattice
+    cosine tables for the degenerate-target fallback. Zero pad
+    rows/columns keep the lane pad inert through every contraction."""
     from ergodic_exploration_tpu.ops import basis, target as target_ops
 
     h, w = g0.shape
+    r = sensor_radius_cells
     Ax, Ay = target_ops.sampling_one_hots(g0, grid_samples, domain)  # (ns, w/h)
+    BxT = jnp.zeros((wp, wp), jnp.float32).at[:w, :w].set(
+        target_ops.blur_count_matrix(w, r).T)
     cosx, cosy = basis.axis_cos_tables(K, grid_samples, domain)
     ck = jnp.where(jnp.arange(K) == 0, 1.0, 0.5).astype(jnp.float32)
     sx = 1.0 / jnp.sqrt(domain.lengths[0] * ck)  # (K,)
     sy = 1.0 / jnp.sqrt(domain.lengths[1] * ck)
-    cxA = jnp.zeros((w, Kp), jnp.float32).at[:, :K].set(
+    cxA = jnp.zeros((wp, Kp), jnp.float32).at[:w, :K].set(
         jnp.matmul(Ax.T, cosx * sx[None, :], precision=jax.lax.Precision.HIGHEST))
     cyA = jnp.matmul((cosy * sy[None, :]).T, Ay,
                      precision=jax.lax.Precision.HIGHEST)  # (K, h)
-    return cxA, cyA, cosx, cosy
+    return BxT, cxA, cyA, cosx, cosy
 
 
 def phik_from_grid_pallas(data, g0, domain, K: int, grid_samples,
                           sensor_radius_cells: int = 0,
                           occupied_threshold: float = 0.65,
                           eps: float = 1e-6, sc: int | None = None,
-                          interpret=None):
+                          interpret=None, blur_mode: str = "xdot"):
     """Batched MI target coefficients straight from the (S, h, w) beliefs.
 
     Args:
@@ -160,15 +186,28 @@ def phik_from_grid_pallas(data, g0, domain, K: int, grid_samples,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    cxA, cyA, cosx, cosy = mi_operands(g0, domain, K, grid_samples, r, Kp)
+    wp = -(-w // 128) * 128
+    BxT, cxA, cyA, cosx, cosy = mi_operands(
+        g0, domain, K, grid_samples, r, Kp, wp)
+
+    # lane-pad the beliefs once in XLA (a contiguous last-dim pad, ~BW-rate;
+    # minor-dim-100 Pallas blocks measured ~8x off the DMA floor on v5e).
+    # Pad VALUE is irrelevant: BxT/cxA pad rows are zero and z(pad)=0.
+    if wp != w:
+        datap = jnp.pad(data, ((0, 0), (0, 0), (0, wp - w)),
+                        constant_values=1.0)
+    else:
+        datap = data
 
     out = pl.pallas_call(
-        _make_kernel(sc, h, w, K, Kp, r, occupied_threshold, eps),
+        _make_kernel(sc, h, w, wp, K, Kp, r, occupied_threshold,
+                     eps, blur_mode if r > 0 else "rolls"),
         grid=(S // sc,),
         in_specs=[
-            pl.BlockSpec((sc * h, w), lambda i: (i, 0),
+            pl.BlockSpec((sc * h, wp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((K, sc * Kp), lambda i: (0, i),
@@ -178,7 +217,7 @@ def phik_from_grid_pallas(data, g0, domain, K: int, grid_samples,
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(data.reshape(S * h, w), cxA, cyA)
+    )(datap.reshape(S * h, wp), BxT, cxA, cyA)
 
     # out[k2, (s, k1)] -> raw (S, K, K); then the dense path's exact
     # normalization + degenerate fallback (engine._phik_grid_batch_dense_fn)

@@ -84,10 +84,14 @@ class SolveParams:
     chunk: int = 1024
     masked_refresh: bool = False
     # tile-predicated DWA: skip the candidate sweep for scenario tiles with
-    # no crashing validation code (the common case on open maps). u_dwa /
-    # feasible for non-crashed lanes are don't-cares (u_cmd ignores them);
-    # dwa_feasible is meaningful only where dwa_active.
-    lazy_dwa: bool = True
+    # no crashing validation code. u_dwa / feasible for non-crashed lanes
+    # are don't-cares (u_cmd ignores them); dwa_feasible is meaningful only
+    # where dwa_active. Default OFF: on the obstacle-rich bench world
+    # nearly every 128-lane tile has a crashing lane, so the predicate is
+    # pure overhead — alternating A/B measured eager 3.538 vs lazy
+    # 3.610 ms/tick over 4 reps (tools/tpu_ab_lazy.py, v5e S=4096). Turn
+    # on for open-map fleets where whole tiles run crash-free.
+    lazy_dwa: bool = False
 
 
 def model_rows(model):

@@ -51,21 +51,23 @@ def main():
 
     g0 = jax.tree.map(lambda a: a[0], grids)
 
-    # --- kernel sc sweep: parity + standalone timing ---
-    for sc in (8, 16, 32):
-        try:
-            raw = lambda g, _sc=sc: phik_from_grid_pallas(
-                g.data, g0, domain, K, gs, r, sc=_sc)
-            t0 = time.time()
-            phik_k = np.asarray(jax.jit(raw)(grids))
-            err = np.abs(phik_k - phik_ref).max()
-            sec = time_chained(chain_wrap(raw), (grids,), iters=iters,
-                               carry_index=None)
-            log(f"kernel sc={sc:3d}: {sec * 1e3:7.3f} ms  max|dphik|={err:.3e}"
-                f"  (compile {time.time() - t0:.0f}s)")
-        except Exception as e:
-            log(f"kernel sc={sc:3d}: FAILED {type(e).__name__}: {str(e)[:200]}")
-            traceback.print_exc(limit=2)
+    # --- kernel sc x blur-mode sweep: parity + standalone timing ---
+    for mode in ("xdot", "rolls"):
+        for sc in (8, 16, 32):
+            try:
+                raw = lambda g, _sc=sc, _m=mode: phik_from_grid_pallas(
+                    g.data, g0, domain, K, gs, r, sc=_sc, blur_mode=_m)
+                t0 = time.time()
+                phik_k = np.asarray(jax.jit(raw)(grids))
+                err = np.abs(phik_k - phik_ref).max()
+                sec = time_chained(chain_wrap(raw), (grids,), iters=iters,
+                                   carry_index=None)
+                log(f"kernel {mode:5s} sc={sc:3d}: {sec * 1e3:7.3f} ms  "
+                    f"max|dphik|={err:.3e}  (compile {time.time() - t0:.0f}s)")
+            except Exception as e:
+                log(f"kernel {mode:5s} sc={sc:3d}: FAILED "
+                    f"{type(e).__name__}: {str(e)[:200]}")
+                traceback.print_exc(limit=2)
 
     # --- full MI tick: dense vs kernel ---
     for use_k, label in ((False, "MI tick dense"), (True, "MI tick kernel")):

@@ -49,7 +49,8 @@ def build_truth(S: int):
     )
 
 
-def main(S=256, n_refreshes=40, refresh_every=10, sensor_range=1.5, seed=0):
+def main(S=256, n_refreshes=200, refresh_every=10, sensor_range=1.5,
+         seed=0):
     import jax
     import jax.numpy as jnp
 
@@ -61,15 +62,32 @@ def main(S=256, n_refreshes=40, refresh_every=10, sensor_range=1.5, seed=0):
     from ergodic_exploration_tpu.engine import Engine
     from ergodic_exploration_tpu.grid import Domain
 
-    cfg = default_config("cart")
+    # OMNI model (the reference's second platform): full planar mobility,
+    # no cart v~0 stall singularity (docs/PARITY.md; .claude/skills/verify),
+    # so reachability reflects the MAP, not the model. ergodic_weight 200
+    # is the demo gain (.claude/skills/verify uses it for the safety probe;
+    # the default 20 explores at ~0.03 m/s — correct but glacial to plot).
+    cfg = default_config("omni").replace(ergodic_weight=200.0)
     engine = Engine(cfg)
     truth = build_truth(S)
 
     rng = np.random.default_rng(seed)
-    # spawn in the lower-left quarter (free by construction), random heading
-    x0 = np.concatenate(
-        [rng.uniform(0.3, 2.0, (S, 2)), rng.uniform(-np.pi, np.pi, (S, 1))],
-        axis=1).astype(np.float32)
+    # rejection-sample spawns over the map's free space with REAL clearance
+    # (EDT > boundary_radius + d_safe): a spawn inside the safety margin is
+    # a validation crash with an infeasible DWA -> the robot parks forever
+    # (correct reference semantics, measured), so keep spawns legal
+    from ergodic_exploration_tpu.ops.distance import DistanceField
+
+    g0t = jax.tree.map(lambda a: a[0], truth)
+    edt = np.asarray(DistanceField.from_grid(g0t).dist)
+    need = cfg.boundary_radius + cfg.d_safe
+    xs = []
+    while len(xs) < S:
+        p_ = rng.uniform(0.3, 4.7, 2)
+        ij = (int(p_[1] / 0.05), int(p_[0] / 0.05))
+        if edt[ij] > need:
+            xs.append([p_[0], p_[1], rng.uniform(-np.pi, np.pi)])
+    x0 = np.asarray(xs, np.float32)
     sc = engine.init_scenarios(x0)
 
     t0 = time.time()
