@@ -268,3 +268,63 @@ def test_in_kernel_refresh_degenerate_mask_fallback():
         sc, u, diag = eng.replan_refresh(sc, far_gmm, domain, world)
         outs[one_kernel] = np.asarray(u)
     np.testing.assert_allclose(outs[True], outs[False], atol=5e-5)
+
+
+def test_lazy_dwa_matches_eager_where_active():
+    """lazy_dwa (tile-predicated sweep skip) == eager on everything that is
+    NOT a documented don't-care: emitted controls, collision codes,
+    dwa_active, and u_dwa/feasible ON ACTIVE LANES. Built so one scenario
+    tile is crash-free (sweep skipped under lazy) and another crashes."""
+    import ergodic_exploration_tpu.ops.solve_kernel as sk
+
+    S = 16  # tile 8 on CPU fallback -> two tiles
+    cfg = default_config("cart").replace(
+        num_basis=6, buffer_capacity=64, use_fused_solve=True)
+    domain = Domain.create(0.0, 0.0, 3.0, 3.0)
+    rng = np.random.default_rng(5)
+    x0 = np.zeros((S, 3), np.float32)
+    x0[:8, 0] = rng.uniform(0.4, 1.0, 8)  # far from the wall: no crashes
+    x0[:8, 1] = rng.uniform(0.4, 1.0, 8)
+    x0[8:, 0] = rng.uniform(1.0, 2.4, 8)  # jammed against the wall
+    x0[8:, 1] = 1.45
+    x0[:, 2] = rng.uniform(-np.pi, np.pi, S)
+    data = np.zeros((60, 60), np.float32)
+    data[28:32, 12:48] = 1.0
+    grids = GridMap(
+        data=jnp.broadcast_to(jnp.asarray(data), (S, 60, 60)),
+        origin=jnp.zeros((S, 2), jnp.float32),
+        resolution=jnp.full((S,), 0.05, jnp.float32),
+    )
+    gmm = target_ops.GaussianMixture.create(
+        means=rng.uniform(0.5, 2.5, (S, 2, 2)).astype(np.float32),
+        covs=np.tile((0.2 * np.eye(2, dtype=np.float32))[None, None],
+                     (S, 2, 1, 1)),
+        weights=np.ones((S, 2), np.float32),
+    )
+
+    orig = sk.params_from_config
+    outs = {}
+    for lazy in (False, True):
+        def patched(c, _lazy=lazy):
+            return dataclasses.replace(orig(c), lazy_dwa=_lazy)
+
+        sk.params_from_config = patched
+        try:
+            eng = Engine(cfg)
+            sc = eng.init_scenarios(x0)
+            phik = eng.phik_from_gmm(gmm, domain)
+            world = eng.prepare_world(grids)
+            sc, u, diag = eng.replan(sc, phik, world)
+            outs[lazy] = (np.asarray(u), np.asarray(diag.collision_code),
+                          np.asarray(diag.dwa_active),
+                          np.asarray(diag.dwa_feasible))
+        finally:
+            sk.params_from_config = orig
+
+    (u_e, code_e, act_e, feas_e), (u_l, code_l, act_l, feas_l) = (
+        outs[False], outs[True])
+    assert act_e.any() and not act_e.all(), "need mixed crash/no-crash tiles"
+    np.testing.assert_array_equal(code_l, code_e)
+    np.testing.assert_array_equal(act_l, act_e)
+    np.testing.assert_allclose(u_l, u_e, rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(feas_l[act_l], feas_e[act_e])
