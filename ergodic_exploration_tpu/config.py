@@ -165,7 +165,8 @@ class EngineConfig:
     # power of two >= 128 (Mosaic lane-dim block constraint); S not divisible
     # falls back to smaller powers of two automatically. Sweepable on
     # hardware (tools/tpu_patch_ab.py): 128 measured best at S=4096 on v5e
-    # (256: +0.7 ms; 512: scoped-VMEM OOM).
+    # (256 exceeded scoped VMEM once the round-4 bit-packed safety planes
+    # became resident; 512 OOM'd before that).
     solve_tile: int = 128
     # Validate the shared-geometry contracts (shared_maps / dense shared-
     # domain refresh) at the Python API edge: concrete operands are checked

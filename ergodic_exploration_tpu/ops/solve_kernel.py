@@ -969,7 +969,7 @@ class _SafetyGeom:
     """Shared closures for the validation + DWA stages (one namespace so the
     merged kernel can run validation ALWAYS but the sweep lazily)."""
 
-    __slots__ = ("twist", "arc", "step_window", "pose_code", "dwa_clearance",
+    __slots__ = ("twist", "arc", "step_window", "pose_code", "dwa_crash",
                  "T", "x0", "y0", "th0", "do_r", "dl_r")
 
 
@@ -1017,27 +1017,61 @@ def _safety_geom(sp: SafetyParams, x_r, pd_c, psx, psy, po_r, pr_r, do_r, dl_r):
         Wt = min(Pc, 2 * half + 1)
         return (Pc - Wt) // 2, Wt
 
+    # ---- bit-packed threshold planes (round 4) ----
+    # The validator and the DWA sweep consume only THRESHOLDED clearances
+    # (crash: d <= 0; warn: d < d_safe), so each crop ROW packs into one
+    # f32-exact integer (sum of distinct 2^b, exact for Pc <= 24; Pc = 16
+    # at defaults) and a pose query becomes a one-hot row-select (Wt FMA)
+    # plus an exact power-of-two bit extract — instead of the (Wt, Wt)
+    # one-hot double contraction (~Wt^2 FMA). The thresholds are applied
+    # to the FULL-precision pd with the exact original expressions, and
+    # f32 comparison signs are rounding-stable, so collision codes are
+    # BIT-IDENTICAL to the dense path (pinned by tests). Scalar 2^b
+    # weights keep Pallas happy (no captured array constants).
+    use_bits = Pc <= 24
+    if use_bits:
+        d_full = pd_c - sp.b_radius  # (Pc, Pc, T)
+        crash_pl = (d_full <= 0.0).astype(jnp.float32)
+        warn_pl = (d_full < sp.d_safe).astype(jnp.float32)
+        cbits = sum(crash_pl[:, b, :] * float(2 ** b) for b in range(Pc))
+        wbits = sum(warn_pl[:, b, :] * float(2 ** b) for b in range(Pc))
+
+    def _extract_bit(rowbits, ipw):
+        """bit ax of the packed row: floor(bits * 2^-ax) mod 2 — exact
+        (integer < 2^Pc times an exact power of two)."""
+        t = jnp.floor(rowbits * ipw)
+        return (t - 2.0 * jnp.floor(t * 0.5)) > 0.5
+
     def pose_code(px, py, o, Wt):
         """Collision code at a position (ops/collision.py check_pose via
         the cropped window's nearest-cell query)."""
         cells_t = jax.lax.broadcasted_iota(jnp.int32, (Wt, 1), 0).astype(jnp.float32)
         fx = (px - po_r[0, :]) / res - 0.5 - (psx + float(o))
         fy = (py - po_r[1, :]) / res - 0.5 - (psy + float(o))
-        ox = jnp.round(jnp.clip(fx, 0.0, Wt - 1.001))[None, :] == cells_t  # (Wt, T)
-        oy = jnp.round(jnp.clip(fy, 0.0, Wt - 1.001))[None, :] == cells_t
-        pd_t = pd_c[o:o + Wt, o:o + Wt, :]
-        row = jnp.sum(pd_t * ox.astype(jnp.float32)[None, :, :], axis=1)
-        clearance = jnp.sum(oy.astype(jnp.float32) * row, axis=0)  # (T,)
-        d = clearance - sp.b_radius
+        ox = (jnp.round(jnp.clip(fx, 0.0, Wt - 1.001))[None, :]
+              == cells_t).astype(jnp.float32)  # (Wt, T)
+        oy = (jnp.round(jnp.clip(fy, 0.0, Wt - 1.001))[None, :]
+              == cells_t).astype(jnp.float32)
         relx = px - do_r[0, :]
         rely = py - do_r[1, :]
         inside = (relx >= 0.0) & (relx <= Lx) & (rely >= 0.0) & (rely <= Ly)
-        crash = (~inside) | (d <= 0.0)
-        warn = d < sp.d_safe
+        if use_bits:
+            rowc = sum(oy[a] * cbits[o + a] for a in range(Wt))  # (T,)
+            roww = sum(oy[a] * wbits[o + a] for a in range(Wt))
+            ipw = sum(ox[b] * float(2.0 ** -(o + b)) for b in range(Wt))
+            crash = (~inside) | _extract_bit(rowc, ipw)
+            warn = _extract_bit(roww, ipw)
+        else:
+            pd_t = pd_c[o:o + Wt, o:o + Wt, :]
+            row = jnp.sum(pd_t * ox[None, :, :], axis=1)
+            d = jnp.sum(oy * row, axis=0) - sp.b_radius  # (T,)
+            crash = (~inside) | (d <= 0.0)
+            warn = d < sp.d_safe
         return jnp.where(crash, 2, jnp.where(warn, 1, 0)).astype(jnp.int32)
 
-    def dwa_clearance(px, py, o, Wt, C):
-        """Nearest-cell clearance for the (C, T) candidate poses."""
+    def dwa_crash(px, py, o, Wt, C):
+        """Crash test (d <= 0 at the nearest cell) for (C, T) candidate
+        poses; domain containment is checked by the caller."""
         cells_t = jax.lax.broadcasted_iota(jnp.int32, (Wt, 1), 0).astype(jnp.float32)
         fx = (px - po_r[0, :][None, :]) / res[None, :] - 0.5 - (psx + float(o))[None, :]
         fy = (py - po_r[1, :][None, :]) / res[None, :] - 0.5 - (psy + float(o))[None, :]
@@ -1045,16 +1079,20 @@ def _safety_geom(sp: SafetyParams, x_r, pd_c, psx, psy, po_r, pr_r, do_r, dl_r):
               == cells_t[None, :, :]).astype(jnp.float32)  # (C, Wt, T)
         oy = (jnp.round(jnp.clip(fy, 0.0, Wt - 1.001))[:, None, :]
               == cells_t[None, :, :]).astype(jnp.float32)
+        if use_bits:
+            rowc = sum(oy[:, a, :] * cbits[o + a][None, :] for a in range(Wt))
+            ipw = sum(ox[:, b, :] * float(2.0 ** -(o + b)) for b in range(Wt))
+            return _extract_bit(rowc, ipw)  # (C, T) bool
         clearance = jnp.zeros((C, T), jnp.float32)
         for a in range(Wt):  # clearance = sum_a oy[a] * (pd[a] @ ox)
-            row = jnp.sum(pd_c[o + a, o:o + Wt, :][None, :, :] * ox, axis=1)  # (C, T)
+            row = jnp.sum(pd_c[o + a, o:o + Wt, :][None, :, :] * ox, axis=1)
             clearance = clearance + oy[:, a, :] * row
-        return clearance
+        return clearance - sp.b_radius <= 0.0
 
     G = _SafetyGeom()
     G.twist, G.arc, G.step_window, G.pose_code = twist, arc, step_window, pose_code
     G.T, G.x0, G.y0, G.th0, G.do_r, G.dl_r = T, x0, y0, th0, do_r, dl_r
-    G.dwa_clearance = dwa_clearance
+    G.dwa_crash = dwa_crash
     return G
 
 
@@ -1105,10 +1143,10 @@ def _dwa_sweep(sp: SafetyParams, G, vb_r, u0, tw0):
     for t in range(1, sp.dwa_horizon + 1):
         o, Wt = G.step_window(t, sp.dwa_horizon)  # reach-limited sub-window
         px, py = G.arc(rvx, rvy, rw, sp.dwa_dt * t)  # (C, T)
-        clearance = G.dwa_clearance(px, py, o, Wt, C)
+        hit = G.dwa_crash(px, py, o, Wt, C)
         inside = ((px >= do_r[0, :][None, :]) & (px <= (do_r[0, :] + Lx)[None, :])
                   & (py >= do_r[1, :][None, :]) & (py <= (do_r[1, :] + Ly)[None, :]))
-        crash = crash | (~inside) | (clearance - sp.b_radius <= 0.0)
+        crash = crash | (~inside) | hit
 
     if sp.cost_space == "control":
         # reference cost (SURVEY.md A.6): ||u_cand - u0||^2 in wheel space
