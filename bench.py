@@ -208,7 +208,9 @@ def _last_recorded_run():
 
     here = os.path.dirname(os.path.abspath(__file__))
     out = {}
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    paths += sorted(glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")))
+    for path in paths:
         try:
             with open(path) as f:
                 rec = json.load(f).get("parsed", {})
