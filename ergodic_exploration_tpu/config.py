@@ -85,7 +85,13 @@ class EngineConfig:
 
     # --- ergodic core (L3) ---
     num_basis: int = 10  # K modes per spatial dim -> K^2 coefficients
-    ergodic_weight: float = 20.0  # gamma: weight on the ergodic gradient
+    # gamma: weight on the ergodic gradient. Round-5 retune (20 -> 200): at
+    # 20 the default closed loop explored at ~0.03 m/s — correct but far
+    # below the reference demos' robot speeds; 200 gives ~0.1-0.2 m/s mean
+    # exploration speed on the config-4 quality map (docs/PERFORMANCE.md
+    # round 5; the exploration-rate floor is pinned by
+    # tests/test_quality.py).
+    ergodic_weight: float = 200.0
     barrier_weight: float = 1.0  # beta: weight on barrier gradients
     # diag of R (len = model nu). The natural scale is (wheel-map gain)^2:
     # u = -R^-1 B^T rho with B entries ~ wheel_radius/2, so R ~ 1 would make
@@ -134,13 +140,42 @@ class EngineConfig:
     barrier_eps: float = 0.05  # boundary-barrier activation margin [m]
     barrier_boundary_weight: float = 25.0
     barrier_obstacle_weight: float = 0.05
-    d_safe: float = 0.5  # obstacle barrier active when clearance < d_safe [m]
+    # Obstacle barrier active (and validation's OBSTACLE warn code raised)
+    # when clearance - boundary_radius < d_safe. Round-5 retune (0.5 ->
+    # 0.2): at 0.5 the barrier band reached 0.7 m from every obstacle, so
+    # on maps with ~1.3 m doorways the bands from facing walls OVERLAPPED
+    # and sealed every passage — the fleet plateaued at ~35% coverage with
+    # robots parked at band-edge equilibria (docs/PERFORMANCE.md round 5).
+    # Hard safety is unaffected: validation/DWA reject on d <= 0 contact,
+    # not on d_safe.
+    d_safe: float = 0.2
 
     # --- validation + DWA fallback (L4) ---
     enable_safety: bool = True  # False: skip validation + DWA (pure ergodic step)
     val_horizon: int = 10
     val_dt: float = 0.1
     dwa: DwaConfig = DwaConfig()
+
+    # --- target shaping (config 4 / MI target) ---
+    # Mask the MI/entropy target to cells within this many cells of KNOWN-
+    # FREE space (the reachable frontier) — SURVEY.md A.3 "masked to known-
+    # free-adjacent cells". 0 = legacy all-unknown weighting, which puts
+    # most phi mass on deep-unknown space behind walls and pulls robots
+    # into them (measured round 5, docs/PERFORMANCE.md).
+    mi_frontier_cells: int = 3
+
+    # --- failure detection: orbit guard ---
+    # The receding-horizon update map has saturated closed-orbit attractors:
+    # once the warm-started control sequence curls into a loop shorter than
+    # the horizon, each replan reproduces it and the robot circles one spot
+    # at full speed forever (measured round 5: stalled scenarios moved at
+    # the saturated 0.3 m/s with < 3 cm net displacement per 60 s). The
+    # guard resets a scenario's warm start (U = 0, a fresh solve — the same
+    # recovery as the divergence guard) whenever its net displacement over
+    # the last `orbit_window` ticks falls below `orbit_eps` meters. Healthy
+    # sweeps move >= 1 m per 64 ticks and never trigger. 0 disables.
+    orbit_window: int = 64
+    orbit_eps: float = 0.15
 
     # --- numerics / scale-out ---
     precision: str = "fp32"  # "fp32" | "bf16" (bf16 basis matmul inputs, fp32 accum)

@@ -77,6 +77,33 @@ class StepDiagnostics(NamedTuple):
     dwa_active: jnp.ndarray  # () bool: emitted control came from DWA
     dwa_feasible: jnp.ndarray  # () bool
     diverged: jnp.ndarray  # () bool: non-finite solve; scenario was reset
+    orbit_reset: jnp.ndarray  # () bool: orbit guard reset the warm start
+
+
+def orbit_guard(cfg: EngineConfig, buffer: RingBuffer, p_now):
+    """True when this scenario is trapped in a closed orbit (round-5 failure
+    detection, the warm-start twin of the divergence guard).
+
+    The receding-horizon update map has saturated closed-orbit attractors:
+    once the warm-started control sequence curls into a loop shorter than
+    the horizon, each replan reproduces it and the robot circles one spot at
+    full speed forever (measured round 5: stalled scenarios moved at the
+    saturated ~0.3 m/s with < 3 cm net displacement per 60 s — see
+    docs/PERFORMANCE.md). Detection is net displacement over the last
+    ``cfg.orbit_window`` ticks below ``cfg.orbit_eps``, read from the replay
+    buffer (one one-hot contraction — no extra state, no gathers). The
+    caller resets the warm start (U = 0: a fresh solve, which measured
+    unsaturated and frontier-directed at the same states) when it fires.
+    """
+    W = cfg.orbit_window
+    if W <= 0:
+        return jnp.zeros((), dtype=bool)
+    cap = buffer.capacity
+    idx = (buffer.cursor - W) % cap
+    hot = (jnp.arange(cap) == idx).astype(buffer.states.dtype)
+    prev = buffer.states @ hot  # (2,) pose appended W ticks ago
+    disp2 = jnp.sum((p_now - prev) ** 2)
+    return (buffer.count >= W) & (disp2 < cfg.orbit_eps * cfg.orbit_eps)
 
 
 @dataclass(frozen=True)
@@ -151,8 +178,15 @@ class ErgodicController:
         # as one-hot/hat matmuls — no TPU gathers (ops/patch.py).
         patch = extract_patch(world.dist, x[:2], cfg.patch_cells)
 
+        # 0. orbit guard: reset the warm start when the scenario is circling
+        # one spot (closed-orbit attractor of the replan map; see
+        # ``orbit_guard``). Branch-free per-scenario, like the divergence
+        # guard in 7b.
+        orbiting = orbit_guard(cfg, state.buffer, x[:2])
+        U_warm = jnp.where(orbiting, 0.0, state.U)
+
         # 1. forward rollout of the warm-started sequence
-        X = rollout(model, x, state.U, cfg.dt, unroll=cfg.scan_unroll)  # (H+1, 3)
+        X = rollout(model, x, U_warm, cfg.dt, unroll=cfg.scan_unroll)  # (H+1, 3)
         knots = X[:-1]  # states x_0..x_{H-1}, aligned with u_0..u_{H-1}
         P = knots[:, :2]
         tbl_roll = basis.tables(P, K, domain)
@@ -187,11 +221,11 @@ class ErgodicController:
         # 5. co-state backward sweep
         g_xy = cfg.ergodic_weight * e + cfg.barrier_weight * bgrad
         gs = jnp.concatenate([g_xy, jnp.zeros((H, 1), dtype=g_xy.dtype)], axis=-1)
-        As = model.A(knots, state.U)  # (H, 3, 3)
+        As = model.A(knots, U_warm)  # (H, 3, 3)
         rho = costate_solve(As, gs, cfg.dt, unroll=cfg.scan_unroll)  # (H, 3)
 
         # 6. control update u = sat(-R^-1 B^T rho)
-        Bs = model.B(knots, state.U)  # (H, 3, nu)
+        Bs = model.B(knots, U_warm)  # (H, 3, nu)
         r_inv = 1.0 / jnp.asarray(cfg.r_diag, dtype=jnp.float32)
         u_star = -jnp.einsum("tiu,ti->tu", Bs, rho) * r_inv[None, :]
         u_min = jnp.asarray(cfg.u_min, dtype=jnp.float32)
@@ -247,6 +281,7 @@ class ErgodicController:
             dwa_active=use_dwa,
             dwa_feasible=feasible,
             diverged=diverged,
+            orbit_reset=orbiting,
         )
         return new_state, u_cmd, diag
 

@@ -545,7 +545,8 @@ class Engine:
         )
         def block(grids_blk, pts_blk, D_blk):
             def vals_one(g):
-                info = target_ops.mutual_information_map(g, sensor_radius_cells)
+                info = target_ops.mutual_information_map(
+                    g, sensor_radius_cells, cfg.mi_frontier_cells)
                 return jnp.maximum(target_ops.sample_map_at(info, g, pts_blk), 0.0)
 
             vals = jax.vmap(vals_one)(grids_blk)  # (S_blk, N_blk)
@@ -577,6 +578,7 @@ class Engine:
         return target_ops.phik_from_grid_separable(
             g, cfg.num_basis, cfg.grid_samples,
             sensor_radius_cells=sensor_radius_cells,
+            frontier_cells=cfg.mi_frontier_cells,
         )
 
     def _phik_grid_batch_dense_fn(self, grids: GridMap, domain: Domain,
@@ -625,6 +627,37 @@ class Engine:
         Ayb = jnp.matmul(Ay, By, precision=_DEF)  # (nsy, h)
 
         info = target_ops.entropy(grids.prob())  # (S, h, w), unblurred
+        fc = cfg.mi_frontier_cells
+        if fc > 0:
+            # Frontier mask (target_ops.frontier_adjacency semantics): the
+            # known-free dilation is the same edge-clamped box count as the
+            # folded blur, so it runs as two small-integer count matmuls
+            # (counts <= (2fc+1)^2 — bf16/DEFAULT exact) instead of cumsum
+            # passes over (S, h, w).
+            kf = ((grids.data >= 0.0) & (~grids.occupied())).astype(jnp.float32)
+            Fx = target_ops.blur_count_matrix(w, fc)
+            Fy = target_ops.blur_count_matrix(h, fc)
+            c1 = jnp.matmul(kf, Fx.T, precision=_DEF)  # (S, h, w) col counts
+            cnt = jnp.matmul(jnp.transpose(c1, (0, 2, 1)), Fy.T,
+                             precision=_DEF)  # (S, w, h) row+col counts
+            adj = jnp.transpose(cnt, (0, 2, 1)) > 0.5  # (S, h, w)
+            # canonical order (mutual_information_map): the mask multiplies
+            # the BLURRED entropy, so with a sensor blur active it can no
+            # longer ride the sampling-matrix fold — blur explicitly first
+            # (same count-matrix matmuls; the (2r+1)^2 scale cancels in the
+            # phi normalization below), then sample with the UNBLURRED Ax.
+            if r > 0:
+                b1 = jnp.matmul(info, target_ops.blur_count_matrix(w, r).T,
+                                precision=_HI,
+                                preferred_element_type=jnp.float32)
+                info = jnp.transpose(
+                    jnp.matmul(jnp.transpose(b1, (0, 2, 1)),
+                               target_ops.blur_count_matrix(h, r).T,
+                               precision=_HI,
+                               preferred_element_type=jnp.float32),
+                    (0, 2, 1))
+            info = info * adj.astype(info.dtype)
+            Axb, Ayb = Ax, Ay  # blur already applied (or r == 0)
         zfree = (~grids.occupied()).astype(jnp.float32)  # (S, h, w)
         # blurred info at the lattice, scaled by (2r+1)^2 (cancels below):
         # sampled[s, ix, iy] = (Axb info[s]^T Ayb^T)[ix, iy]
@@ -799,24 +832,44 @@ class Engine:
         (SURVEY.md section 4.2 step 1 + steps 2-7). This is the benchmarked
         'solve'.
 
-        One-kernel fast path (round 4): with the fused solve + shared maps
-        on a shared domain (the bench configuration), the refresh runs
-        INSIDE the merged Pallas kernel (solve_kernel.py in-kernel refresh)
-        — the whole tick is one program. Single-chip only; on a mesh the
-        refresh stays a separate (sample-shardable) stage."""
+        One-kernel fast path (round 4, un-gated on meshes round 5): with
+        the fused solve + shared maps on a shared domain (the bench
+        configuration), the refresh runs INSIDE the merged Pallas kernel
+        (solve_kernel.py in-kernel refresh) — the whole tick is one
+        program. On a scenario mesh the kernel runs under the same
+        shard_map wrap as the fused solve (purely scenario-parallel: the
+        refresh operands are scenario-sharded or scenario-invariant, zero
+        collectives; shared row-0 reads see the LOCAL shard's row 0,
+        identical by the shared contracts). Only a mesh with a populated
+        SAMPLE axis keeps the separate sample-sharded refresh stage."""
         cfg = self.config
         if (
             cfg.use_fused_solve
             and cfg.shared_maps
-            and self.mesh is None
             and domain.origin.ndim == 1
+            and not self._use_sample_sharding(domain)
         ):
             from ergodic_exploration_tpu.ops.solve_kernel import replan_batched_fused
 
-            state, u, diag = replan_batched_fused(
-                cfg, self.controller.model, sc.state, sc.x, sc.vb, None,
-                world, gmm=gmm, domain=domain,
-            )
+            def _one_kernel(st, x, vb, wo, gm):
+                return replan_batched_fused(
+                    cfg, self.controller.model, st, x, vb, None, wo,
+                    gmm=gm, domain=domain,
+                )
+
+            if self.mesh is not None:
+                from jax import shard_map
+
+                spec = P(self.SCENARIO_AXIS)
+                state, u, diag = shard_map(
+                    _one_kernel,
+                    mesh=self.mesh,
+                    in_specs=(spec, spec, spec, spec, spec),
+                    out_specs=spec,
+                    check_vma=False,
+                )(sc.state, sc.x, sc.vb, world, gmm)
+            else:
+                state, u, diag = _one_kernel(sc.state, sc.x, sc.vb, world, gmm)
             return Scenarios(state=state, x=sc.x, vb=sc.vb), u, diag
         phik = self._phik_from_gmm_fn(gmm, domain, world.free_mask)
         return self._replan_fn(sc, phik, world)
@@ -862,6 +915,7 @@ class Engine:
             phik = phik_from_grid_pallas(
                 grids.data, g0, domain, self.config.num_basis,
                 self.config.grid_samples, sensor_radius_cells,
+                frontier_cells=self.config.mi_frontier_cells,
             )
         elif domain is not None and domain.origin.ndim == 1:
             phik = self._phik_grid_batch_dense_fn(grids, domain, sensor_radius_cells)

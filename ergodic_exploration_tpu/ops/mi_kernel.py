@@ -75,8 +75,12 @@ def _split_dot2p(a, b):
 
 def _make_kernel(sc: int, h: int, w: int, wp: int, K: int, Kp: int, r: int,
                  occupied_threshold: float, eps: float,
-                 blur_mode: str = "xdot"):
-    def kernel(b_r, bxt_r, cxa_r, cya_r, out_r):
+                 blur_mode: str = "xdot", fc: int = 0):
+    def kernel(b_r, bxt_r, cxa_r, cya_r, *rest):
+        if fc > 0:
+            fxt_r, out_r = rest
+        else:
+            (out_r,) = rest
         b = b_r[:, :]  # (sc*h, wp) rows are (s, iy); lanes >= w are pad
         # entropy of the occupancy probability (grid.prob + target.entropy).
         # Pad lanes carry junk entropy but every downstream contraction
@@ -110,6 +114,22 @@ def _make_kernel(sc: int, h: int, w: int, wp: int, K: int, Kp: int, r: int,
             dn = jnp.where(iy >= 1, jnp.roll(dn, 1, axis=0), dn)
             up = jnp.where(iy < h - 1, jnp.roll(up, -1, axis=0), up)
             t2 = t2 + dn + up
+        if fc > 0:
+            # frontier mask (target.frontier_adjacency): dilate the KNOWN-
+            # FREE mask by the edge-clamped box count — x as ONE default-
+            # precision dot against the banded 0/1->int count matrix (kf is
+            # 0/1, counts are small ints: bf16-exact), y as fc clamp-shift
+            # passes (same machinery as the blur above), then threshold.
+            kf = ((b >= 0.0) & (b < occupied_threshold)).astype(jnp.float32)
+            c1 = jnp.dot(kf, fxt_r[:, :], precision=_DEF,
+                         preferred_element_type=jnp.float32)  # (sc*h, wp)
+            cnt = c1
+            dnf, upf = c1, c1
+            for _ in range(fc):
+                dnf = jnp.where(iy >= 1, jnp.roll(dnf, 1, axis=0), dnf)
+                upf = jnp.where(iy < h - 1, jnp.roll(upf, -1, axis=0), upf)
+                cnt = cnt + dnf + upf
+            t2 = t2 * (cnt > 0.5).astype(jnp.float32)
         vals = jnp.maximum(t2 * z, 0.0)  # (sc*h, wp) cell-space MI field
 
         # x contraction with the resample-folded cosine table (no relayout)
@@ -160,7 +180,8 @@ def phik_from_grid_pallas(data, g0, domain, K: int, grid_samples,
                           sensor_radius_cells: int = 0,
                           occupied_threshold: float = 0.65,
                           eps: float = 1e-6, sc: int | None = None,
-                          interpret=None, blur_mode: str = "xdot"):
+                          interpret=None, blur_mode: str = "xdot",
+                          frontier_cells: int = 0):
     """Batched MI target coefficients straight from the (S, h, w) beliefs.
 
     Args:
@@ -199,17 +220,28 @@ def phik_from_grid_pallas(data, g0, domain, K: int, grid_samples,
     else:
         datap = data
 
+    fc = frontier_cells
+    in_specs = [
+        pl.BlockSpec((sc * h, wp), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((wp, wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [datap.reshape(S * h, wp), BxT, cxA, cyA]
+    if fc > 0:
+        from ergodic_exploration_tpu.ops import target as target_ops
+
+        FxT = jnp.zeros((wp, wp), jnp.float32).at[:w, :w].set(
+            target_ops.blur_count_matrix(w, fc).T)
+        in_specs.append(pl.BlockSpec((wp, wp), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(FxT)
     out = pl.pallas_call(
         _make_kernel(sc, h, w, wp, K, Kp, r, occupied_threshold,
-                     eps, blur_mode if r > 0 else "rolls"),
+                     eps, blur_mode if r > 0 else "rolls", fc=fc),
         grid=(S // sc,),
-        in_specs=[
-            pl.BlockSpec((sc * h, wp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((K, sc * Kp), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K, S * Kp), jnp.float32),
@@ -217,7 +249,7 @@ def phik_from_grid_pallas(data, g0, domain, K: int, grid_samples,
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(datap.reshape(S * h, wp), BxT, cxA, cyA)
+    )(*operands)
 
     # out[k2, (s, k1)] -> raw (S, K, K); then the dense path's exact
     # normalization + degenerate fallback (engine._phik_grid_batch_dense_fn)

@@ -644,7 +644,9 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world,
     folded into the dense basis table at trace time (the engine's
     shared-maps fold; identical normalization algebra, see _make_kernel).
     """
-    from ergodic_exploration_tpu.controller import ControllerState, StepDiagnostics
+    from ergodic_exploration_tpu.controller import (ControllerState,
+                                                    StepDiagnostics,
+                                                    orbit_guard)
     from ergodic_exploration_tpu.ops import basis
     from ergodic_exploration_tpu.ops.collision import CRASH, validate_control
     from ergodic_exploration_tpu.ops.dwa import dwa_control
@@ -654,6 +656,15 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world,
     K = cfg.num_basis
     H = cfg.horizon
     bdom = world.domain  # batched leaves (S, ...)
+
+    # Orbit guard (controller.step step 0): runs in XLA ahead of the kernel
+    # — one batched one-hot contraction on the buffer, then a where on U —
+    # so the kernel program is untouched and parity with the vmapped path
+    # is by construction (tests/test_solve_kernel.py).
+    orbiting = jax.vmap(lambda b, p: orbit_guard(cfg, b, p))(
+        state.buffer, x[:, :2]
+    )  # (S,)
+    U_warm = jnp.where(orbiting[:, None, None], 0.0, state.U)
 
     shared_maps = cfg.shared_maps
     if shared_maps:
@@ -833,7 +844,7 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world,
     wd = world.domain  # batched per-scenario domain leaves (S, 2)
     core_ops = (
         x.T,
-        t3(state.U),
+        t3(U_warm),
         hist_op,
         n_hist[None, :],
         None if refresh_ops is not None else phik.reshape(S, K * K).T,
@@ -896,6 +907,7 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world,
         dwa_active=use_dwa,
         dwa_feasible=feasible,
         diverged=diverged,
+        orbit_reset=orbiting,
     )
     return new_state, u_cmd, diag
 

@@ -92,7 +92,30 @@ def _box_blur_1d(img, radius: int, axis: int):
     return (hi - lo) / (2 * radius + 1)
 
 
-def mutual_information_map(grid, sensor_radius_cells: int = 0):
+def frontier_adjacency(grid, cells: int):
+    """0/1 mask of cells within ``cells`` (Chebyshev distance, edge-clamped
+    windows) of a KNOWN-FREE cell; (..., H, W) float.
+
+    This is SURVEY.md A.3's "masked to known-free-adjacent cells": restricting
+    the MI target to the REACHABLE frontier of explored space. Without it the
+    entropy map puts most of its mass on deep-unknown space behind walls, so
+    the ergodic gradient pulls robots INTO walls instead of along reachable
+    routes through doorways (measured round 5: the config-4 closed loop
+    plateaued at ~35% coverage with robots pressed against walls; frontier
+    masking roughly doubled sustained coverage — docs/PERFORMANCE.md).
+
+    The dilation is the same edge-clamped box count as :func:`_box_blur_1d`
+    (times (2c+1)^2), so the dense batched path can fold it into exact
+    small-integer :func:`blur_count_matrix` matmuls (counts <= (2c+1)^2 = 49
+    at the default radius — bf16-exact).
+    """
+    kf = ((grid.data >= 0.0) & (~grid.occupied())).astype(jnp.float32)
+    cnt = _box_blur_1d(_box_blur_1d(kf, cells, -1), cells, -2)
+    return (cnt * float((2 * cells + 1) ** 2) > 0.5).astype(jnp.float32)
+
+
+def mutual_information_map(grid, sensor_radius_cells: int = 0,
+                           frontier_cells: int = 0):
     """Per-cell information value of the map: entropy of the occupancy
     probability, optionally blurred by a box sensor-footprint kernel so a
     pose is credited with the information visible around it; (H, W).
@@ -102,9 +125,16 @@ def mutual_information_map(grid, sensor_radius_cells: int = 0):
     maximal information, known free/occupied cells near zero. Occupied cells
     are zeroed after the blur so the target never asks the robot to stand in
     a wall.
+
+    ``frontier_cells > 0`` additionally masks the map to cells within that
+    many cells of known-free space (:func:`frontier_adjacency` — SURVEY.md
+    A.3 "known-free-adjacent"), concentrating phi on the reachable frontier;
+    0 keeps the legacy all-unknown-weighted map.
     """
     h = entropy(grid.prob())
     h = _box_blur_1d(_box_blur_1d(h, sensor_radius_cells, -1), sensor_radius_cells, -2)
+    if frontier_cells > 0:
+        h = h * frontier_adjacency(grid, frontier_cells)
     return jnp.where(grid.occupied(), 0.0, h)
 
 
@@ -114,7 +144,8 @@ def sample_map_at(values, grid, points):
     return values[ij[:, 1], ij[:, 0]]
 
 
-def mi_target_values(grid, points, sensor_radius_cells: int = 0):
+def mi_target_values(grid, points, sensor_radius_cells: int = 0,
+                     frontier_cells: int = 0):
     """phi values at sample points from the current occupancy grid,
     normalized to sum 1 — recomputed each replan as the grid evolves
     (BASELINE config 4).
@@ -124,13 +155,14 @@ def mi_target_values(grid, points, sensor_radius_cells: int = 0):
     (Engine.phik_from_grid, replan_refresh_mi) uses
     :func:`phik_from_grid_separable`, which never gathers.
     """
-    info = mutual_information_map(grid, sensor_radius_cells)
+    info = mutual_information_map(grid, sensor_radius_cells, frontier_cells)
     vals = sample_map_at(info, grid, points)
     return normalize_phi(vals)
 
 
 def phik_from_grid_separable(grid, K: int, grid_samples, domain=None,
-                             sensor_radius_cells: int = 0, eps: float = 1e-12):
+                             sensor_radius_cells: int = 0, eps: float = 1e-12,
+                             frontier_cells: int = 0):
     """Gather-free MI target coefficients phi_k from one occupancy grid —
     the TPU-native config-4 per-tick refresh (reference capability:
     the information-map target recomputed each replan, SURVEY.md sections 3
@@ -160,7 +192,7 @@ def phik_from_grid_separable(grid, K: int, grid_samples, domain=None,
     from ergodic_exploration_tpu.ops import basis
 
     _EXACT = jax.lax.Precision.HIGHEST
-    info = mutual_information_map(grid, sensor_radius_cells)  # (H, W)
+    info = mutual_information_map(grid, sensor_radius_cells, frontier_cells)  # (H, W)
     dom = grid.domain() if domain is None else domain
     nsx, nsy = grid_samples
     h, w = grid.shape

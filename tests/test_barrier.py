@@ -60,7 +60,7 @@ def test_obstacle_barrier_pushes_away_from_obstacle():
     g = GridMap.from_ros(raw, 0.0, 0.0, 0.1)
     f = DistanceField.from_grid(g)
     cfg = default_config("cart")
-    p = jnp.array([[0.45, 1.0]])  # close to the wall
+    p = jnp.array([[0.3, 1.0]])  # inside the d_safe band
     val, grad = barrier(p, g.domain(), f, cfg)
     assert float(val[0]) > 0.0
     assert float(grad[0, 0]) < 0.0  # cost decreases as x increases -> grad_x < 0

@@ -93,6 +93,9 @@ _SCALAR_FIELD_SAMPLES = {
     "solve_tile": (256, 256),
     "validate_shared": (False, False),
     "scan_unroll": (4, 4),
+    "mi_frontier_cells": (5, 5),
+    "orbit_window": (32, 32),
+    "orbit_eps": (0.25, 0.25),
 }
 
 

@@ -46,7 +46,8 @@ def test_mi_kernel_matches_dense_path(radius):
     out = jax.jit(
         lambda b: phik_from_grid_pallas(
             b, g0, DOM, cfg.num_basis, cfg.grid_samples,
-            sensor_radius_cells=radius))(grids.data)
+            sensor_radius_cells=radius,
+            frontier_cells=cfg.mi_frontier_cells))(grids.data)
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)

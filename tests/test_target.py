@@ -81,14 +81,15 @@ def test_mi_target_values_normalized_and_evolving():
     assert not np.allclose(np.asarray(phi0), np.asarray(phi1))
 
 
-def _phik_gather_path(g, K, grid_samples, sensor_radius_cells=0):
+def _phik_gather_path(g, K, grid_samples, sensor_radius_cells=0,
+                      frontier_cells=0):
     """The slow/oracle MI phi_k: gather-sample the lattice, normalize,
     contract with per-point basis tables (what the engine used pre-round-3)."""
     from ergodic_exploration_tpu.ops import basis
 
     dom = g.domain()
     pts = dom.sample_lattice(grid_samples)
-    phi = target.mi_target_values(g, pts, sensor_radius_cells)
+    phi = target.mi_target_values(g, pts, sensor_radius_cells, frontier_cells)
     tbl = basis.tables(pts, K, dom)
     hk = basis.hk_norm(K, dom.lengths)
     return basis.coefficients(tbl, phi, hk)
@@ -145,7 +146,8 @@ def test_engine_phik_from_grid_uses_separable_and_matches():
                                                  domain=dom))
     for i in range(S):
         g1 = jax.tree.map(lambda a: a[i], grids)
-        want = np.asarray(_phik_gather_path(g1, 6, (20, 20), 1))
+        want = np.asarray(_phik_gather_path(g1, 6, (20, 20), 1,
+                                            cfg.mi_frontier_cells))
         np.testing.assert_allclose(got[i], want, atol=3e-5)
         np.testing.assert_allclose(got_dense[i], want, atol=3e-5)
 

@@ -36,9 +36,11 @@ def build_truth(S: int):
 
     from ergodic_exploration_tpu.grid import GridMap
 
-    # Doorways must exceed 2*d_safe (= 1.0 m at defaults): the barrier +
-    # DWA correctly refuse narrower gaps (measured: a 0.6 m gap capped the
-    # whole-building coverage at 35% — the doors were safety-closed).
+    # Doorways must exceed 2*(boundary_radius + a margin): the validator
+    # refuses contact (d <= 0) gaps. At the round-5 defaults (d_safe=0.2)
+    # the 1.3 m / 1.6 m doors are barrier-open; at the old d_safe=0.5 the
+    # facing barrier bands overlapped and sealed them (docs/PERFORMANCE.md
+    # round 5).
     data = np.zeros((100, 100), np.float32)
     data[0, :] = data[-1, :] = data[:, 0] = data[:, -1] = 1.0  # outer walls
     data[45:48, 0:64] = 1.0  # long wall, 1.3 m doorway on the right
@@ -67,10 +69,11 @@ def main(S=256, n_refreshes=500, refresh_every=10, sensor_range=1.5,
 
     # OMNI model (the reference's second platform): full planar mobility,
     # no cart v~0 stall singularity (docs/PARITY.md; .claude/skills/verify),
-    # so reachability reflects the MAP, not the model. ergodic_weight 200
-    # is the demo gain (.claude/skills/verify uses it for the safety probe;
-    # the default 20 explores at ~0.03 m/s — correct but glacial to plot).
-    cfg = default_config("omni").replace(ergodic_weight=200.0)
+    # so reachability reflects the MAP, not the model. Round 5: pure
+    # DEFAULTS — the retuned gains + frontier MI target + orbit guard took
+    # the fleet median from 37% to 98% coverage on this map
+    # (docs/PERFORMANCE.md round 5).
+    cfg = default_config("omni")
     engine = Engine(cfg)
     truth = build_truth(S)
 
