@@ -201,27 +201,40 @@ def _run():
 
 
 def _last_recorded_run():
-    """The newest recorded BENCH_r*.json result (no hardcoded constants —
-    VERDICT r3 weak 1: a literal here rotted two rounds in a row)."""
+    """The newest recorded bench result (no hardcoded constants — VERDICT r3
+    weak 1: a literal here rotted two rounds in a row).
+
+    Precedence (ADVICE r4): the highest ROUND number wins; within a round
+    the driver-written BENCH_r*.json is canonical and beats BENCH_LOCAL_r*
+    (LOCAL runs can sample a degraded claim lease). The chosen source file
+    is tagged in the output so a regression flag is traceable.
+    """
     import glob
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    out = {}
-    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    paths += sorted(glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")))
-    for path in paths:
+    best_key, out = (-1, 0), {}
+    for path in glob.glob(os.path.join(here, "BENCH*_r*.json")):
+        name = os.path.basename(path)
+        m = re.match(r"BENCH(_LOCAL)?_r(\d+)\.json$", name)
+        if not m:
+            continue
+        key = (int(m.group(2)), 0 if m.group(1) else 1)  # canonical wins
+        if key <= best_key:
+            continue
         try:
             with open(path) as f:
                 rec = json.load(f).get("parsed", {})
-            if rec.get("value"):
-                out = {
-                    "value": rec["value"],
-                    "p50_replan_latency_ms": rec.get("p50_replan_latency_ms"),
-                    "source": os.path.basename(path),
-                }
         except Exception:
             continue
+        if rec.get("value"):
+            best_key = key
+            out = {
+                "value": rec["value"],
+                "p50_replan_latency_ms": rec.get("p50_replan_latency_ms"),
+                "source": name,
+            }
     return out
 
 
