@@ -116,22 +116,42 @@ def build_case_mi(S: int, seed: int = 0):
     return engine, sc, grids, engine.prepare_world(grids), domain
 
 
+def pad_beliefs(grids):
+    """Beliefs in the lane-padded (S, h, 128) storage layout the Pallas MI
+    kernel consumes directly (margin values contribute exactly nothing —
+    ops/mi_kernel.py). Carrying this layout across ticks skips the per-call
+    XLA pad (~0.5 ms at S=4096 on v5e)."""
+    import jax.numpy as jnp
+
+    w = grids.data.shape[-1]
+    wp = -(-w // 128) * 128
+    if wp == w:
+        return grids.data
+    return jnp.pad(grids.data, ((0, 0), (0, 0), (0, wp - w)),
+                   constant_values=1.0)
+
+
 def bench_throughput_mi(S=4096, iters=50, sensor_radius_cells=3):
     """Config-4 throughput: MI target recomputed from the occupancy grid
-    EVERY replan (the BASELINE config-4 per-tick work), fused with the solve
-    in one jitted program (engine.replan_refresh_mi; shared-domain dense
-    refresh path)."""
+    EVERY replan (the BASELINE config-4 per-tick work, at the round-5
+    default semantics: frontier-masked target), fused with the solve in one
+    jitted program. Round 5: the Pallas MI-refresh kernel on lane-padded
+    beliefs is the measured-fastest path at these semantics (5.26 vs 6.27
+    ms dense on v5e; docs/PERFORMANCE.md round-5 MI table), so the bench
+    rides it; parity vs the dense path is pinned by tests/test_mi_kernel.py.
+    """
     import jax
 
     engine, sc, grids, world, domain = build_case_mi(S)
+    padded = pad_beliefs(grids)
     step = jax.jit(
-        lambda s, g, w: engine._refresh_mi_and_replan_fn(
-            s, g, w, sensor_radius_cells, domain),
+        lambda s, g, w, p: engine._refresh_mi_and_replan_fn(
+            s, g, w, sensor_radius_cells, domain, True, p),
         donate_argnums=(0,),
     )
-    sc, u, diag = step(sc, grids, world)  # compile + warm
+    sc, u, diag = step(sc, grids, world, padded)  # compile + warm
     float(u.sum())
-    dt, sc = _run_chain(step, sc, grids, world, iters=iters)
+    dt, sc = _run_chain(step, sc, grids, world, padded, iters=iters)
     return S * iters / dt
 
 

@@ -101,7 +101,8 @@ def orbit_guard(cfg: EngineConfig, buffer: RingBuffer, p_now):
     cap = buffer.capacity
     idx = (buffer.cursor - W) % cap
     hot = (jnp.arange(cap) == idx).astype(buffer.states.dtype)
-    prev = buffer.states @ hot  # (2,) pose appended W ticks ago
+    prev = jnp.matmul(buffer.states, hot,
+                      precision=jax.lax.Precision.HIGHEST)  # (2,) W ticks ago
     disp2 = jnp.sum((p_now - prev) ** 2)
     return (buffer.count >= W) & (disp2 < cfg.orbit_eps * cfg.orbit_eps)
 

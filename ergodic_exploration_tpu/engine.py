@@ -628,36 +628,6 @@ class Engine:
 
         info = target_ops.entropy(grids.prob())  # (S, h, w), unblurred
         fc = cfg.mi_frontier_cells
-        if fc > 0:
-            # Frontier mask (target_ops.frontier_adjacency semantics): the
-            # known-free dilation is the same edge-clamped box count as the
-            # folded blur, so it runs as two small-integer count matmuls
-            # (counts <= (2fc+1)^2 — bf16/DEFAULT exact) instead of cumsum
-            # passes over (S, h, w).
-            kf = ((grids.data >= 0.0) & (~grids.occupied())).astype(jnp.float32)
-            Fx = target_ops.blur_count_matrix(w, fc)
-            Fy = target_ops.blur_count_matrix(h, fc)
-            c1 = jnp.matmul(kf, Fx.T, precision=_DEF)  # (S, h, w) col counts
-            cnt = jnp.matmul(jnp.transpose(c1, (0, 2, 1)), Fy.T,
-                             precision=_DEF)  # (S, w, h) row+col counts
-            adj = jnp.transpose(cnt, (0, 2, 1)) > 0.5  # (S, h, w)
-            # canonical order (mutual_information_map): the mask multiplies
-            # the BLURRED entropy, so with a sensor blur active it can no
-            # longer ride the sampling-matrix fold — blur explicitly first
-            # (same count-matrix matmuls; the (2r+1)^2 scale cancels in the
-            # phi normalization below), then sample with the UNBLURRED Ax.
-            if r > 0:
-                b1 = jnp.matmul(info, target_ops.blur_count_matrix(w, r).T,
-                                precision=_HI,
-                                preferred_element_type=jnp.float32)
-                info = jnp.transpose(
-                    jnp.matmul(jnp.transpose(b1, (0, 2, 1)),
-                               target_ops.blur_count_matrix(h, r).T,
-                               precision=_HI,
-                               preferred_element_type=jnp.float32),
-                    (0, 2, 1))
-            info = info * adj.astype(info.dtype)
-            Axb, Ayb = Ax, Ay  # blur already applied (or r == 0)
         zfree = (~grids.occupied()).astype(jnp.float32)  # (S, h, w)
         # blurred info at the lattice, scaled by (2r+1)^2 (cancels below):
         # sampled[s, ix, iy] = (Axb info[s]^T Ayb^T)[ix, iy]
@@ -668,6 +638,25 @@ class Engine:
             precision=_HI, preferred_element_type=jnp.float32)  # (S, nsx, nsy)
         z1 = jnp.matmul(zfree, Ax.T, precision=_DEF)  # (S, h, nsx)
         zs = jnp.matmul(jnp.transpose(z1, (0, 2, 1)), Ay.T, precision=_DEF)
+        if fc > 0:
+            # Frontier mask (target_ops.frontier_adjacency): nearest-cell
+            # sampling commutes with elementwise products AND monotone
+            # thresholds, so instead of masking in cell space (which would
+            # unfold the blur and cost explicit (S, h, w) transposes —
+            # measured +1.45 ms/tick at S=4096, round 5) the known-free
+            # COUNT field is sampled through count-folded one-hots
+            # (Ax @ Fx, small ints <= (2fc+1)^2, bf16-exact) and
+            # thresholded at the lattice: sample(adj (.) blur(E)) ==
+            # (sample counts > 0) (.) sample(blur(E)) exactly.
+            kf = ((grids.data >= 0.0) & (~grids.occupied())).astype(jnp.float32)
+            Axf = jnp.matmul(Ax, target_ops.blur_count_matrix(w, fc),
+                             precision=_DEF)  # (nsx, w)
+            Ayf = jnp.matmul(Ay, target_ops.blur_count_matrix(h, fc),
+                             precision=_DEF)  # (nsy, h)
+            k1 = jnp.matmul(kf, Axf.T, precision=_DEF)  # (S, h, nsx)
+            ks = jnp.matmul(jnp.transpose(k1, (0, 2, 1)), Ayf.T,
+                            precision=_DEF)  # (S, nsx, nsy)
+            zs = zs * (ks > 0.5).astype(zs.dtype)
         vals = jnp.maximum((sampled * zs).reshape(-1, nsx * nsy), 0.0)  # (S, N)
         ck_raw = basis.coefficients_dense(vals, D, K)
         total = ck_raw[:, 0, 0] * hk[0, 0]  # scaled sum — scale cancels
@@ -886,7 +875,8 @@ class Engine:
     def _refresh_mi_and_replan_fn(self, sc: Scenarios, grids: GridMap,
                                   world: World, sensor_radius_cells: int,
                                   domain: Optional[Domain] = None,
-                                  use_mi_kernel: bool = False):
+                                  use_mi_kernel: bool = False,
+                                  padded_data=None):
         """MI target refresh from the evolving occupancy grids + batched
         solve in one trace — BASELINE config 4's FULL per-tick work
         ("mutual-information target recomputed from an evolving occupancy
@@ -913,7 +903,8 @@ class Engine:
 
             g0 = jax.tree.map(lambda a: a[0], grids)
             phik = phik_from_grid_pallas(
-                grids.data, g0, domain, self.config.num_basis,
+                grids.data if padded_data is None else padded_data,
+                g0, domain, self.config.num_basis,
                 self.config.grid_samples, sensor_radius_cells,
                 frontier_cells=self.config.mi_frontier_cells,
             )
@@ -928,7 +919,8 @@ class Engine:
     def replan_refresh_mi(self, sc: Scenarios, grids: GridMap, world: World,
                           sensor_radius_cells: int = 0,
                           domain: Optional[Domain] = None,
-                          use_mi_kernel: bool = False):
+                          use_mi_kernel: bool = False,
+                          padded_data=None):
         """One batched tick including the per-tick MUTUAL-INFORMATION target
         refresh (config 4's hot path; what bench.py's MI metric measures).
         ``world`` carries the distance field built from the same beliefs at
@@ -942,13 +934,15 @@ class Engine:
         if jits is None:
             jits = self._replan_refresh_mi_jits = {}
         key = (sensor_radius_cells,
-               domain is not None and domain.origin.ndim == 1, use_mi_kernel)
+               domain is not None and domain.origin.ndim == 1, use_mi_kernel,
+               padded_data is None)
         f = jits.get(key)
         if f is None:
             f = self._shard_jit(self._refresh_mi_and_replan_fn,
                                 static_argnums=(3, 5), donate=(0,))
             jits[key] = f
-        return f(sc, grids, world, sensor_radius_cells, domain, use_mi_kernel)
+        return f(sc, grids, world, sensor_radius_cells, domain, use_mi_kernel,
+                 padded_data)
 
     def _explore_fn(self, sc: Scenarios, phik, world: World, n_ticks: int):
         def body(carry, _):

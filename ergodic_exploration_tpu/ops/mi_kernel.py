@@ -75,7 +75,12 @@ def _split_dot2p(a, b):
 
 def _make_kernel(sc: int, h: int, w: int, wp: int, K: int, Kp: int, r: int,
                  occupied_threshold: float, eps: float,
-                 blur_mode: str = "xdot", fc: int = 0):
+                 blur_mode: str = "xdot", fc: int = 0,
+                 _ablate: frozenset = frozenset()):
+    """``_ablate`` (perf diagnostics only, NOT parity-exact): a set of stage
+    names to stub out, used by tools/tpu_mi_ablate.py to price each kernel
+    stage — {"lin_entropy", "no_yblur", "no_xblur", "no_fc", "dot1",
+    "no_tail", "no_contract"}."""
     def kernel(b_r, bxt_r, cxa_r, cya_r, *rest):
         if fc > 0:
             fxt_r, out_r = rest
@@ -86,12 +91,17 @@ def _make_kernel(sc: int, h: int, w: int, wp: int, K: int, Kp: int, r: int,
         # Pad lanes carry junk entropy but every downstream contraction
         # (BxT pad rows, cxA pad rows) has ZERO weights there.
         p = jnp.clip(jnp.where(b < 0.0, 0.5, b), eps, 1.0 - eps)
-        e = -(p * jnp.log(p) + (1.0 - p) * jnp.log1p(-p))
+        if "lin_entropy" in _ablate:
+            e = 2.7725887 * p * (1.0 - p)  # matches H at p=0.5; no logs
+        else:
+            e = -(p * jnp.log(p) + (1.0 - p) * jnp.log1p(-p))
         # free mask (~grid.occupied): unknown cells are NOT obstacles
         z = (b < occupied_threshold).astype(jnp.float32)
 
         # ---- x blur (edge-clamped box, blur_count_matrix semantics) ----
-        if blur_mode == "xdot":
+        if "no_xblur" in _ablate:
+            t1 = e
+        elif blur_mode == "xdot":
             # one MXU dot against the banded count matrix: zero pad
             # rows/cols keep the lane pad inert, clamp semantics live in BxT
             t1 = _split_dot2p(e, bxt_r[:, :])  # (sc*h, wp)
@@ -109,12 +119,13 @@ def _make_kernel(sc: int, h: int, w: int, wp: int, K: int, Kp: int, r: int,
         iy = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, b.shape, 0),
                          jnp.int32(h))
         t2 = t1
-        dn, up = t1, t1
-        for _ in range(r):
-            dn = jnp.where(iy >= 1, jnp.roll(dn, 1, axis=0), dn)
-            up = jnp.where(iy < h - 1, jnp.roll(up, -1, axis=0), up)
-            t2 = t2 + dn + up
-        if fc > 0:
+        if "no_yblur" not in _ablate:
+            dn, up = t1, t1
+            for _ in range(r):
+                dn = jnp.where(iy >= 1, jnp.roll(dn, 1, axis=0), dn)
+                up = jnp.where(iy < h - 1, jnp.roll(up, -1, axis=0), up)
+                t2 = t2 + dn + up
+        if fc > 0 and "no_fc" not in _ablate:
             # frontier mask (target.frontier_adjacency): dilate the KNOWN-
             # FREE mask by the edge-clamped box count — x as ONE default-
             # precision dot against the banded 0/1->int count matrix (kf is
@@ -132,12 +143,26 @@ def _make_kernel(sc: int, h: int, w: int, wp: int, K: int, Kp: int, r: int,
             t2 = t2 * (cnt > 0.5).astype(jnp.float32)
         vals = jnp.maximum(t2 * z, 0.0)  # (sc*h, wp) cell-space MI field
 
+        if "no_contract" in _ablate:
+            out_r[:, :] = jnp.zeros((K, sc * Kp), jnp.float32) + jnp.sum(vals)
+            return
         # x contraction with the resample-folded cosine table (no relayout)
-        w1 = _split_dot3(vals, cxa_r[:, :])  # (sc*h, Kp)
+        if "dot1" in _ablate:
+            w1 = jnp.dot(vals, cxa_r[:, :], precision=_DEF,
+                         preferred_element_type=jnp.float32)
+        else:
+            w1 = _split_dot3(vals, cxa_r[:, :])  # (sc*h, Kp)
+        if "no_tail" in _ablate:
+            out_r[:, :] = jnp.zeros((K, sc * Kp), jnp.float32) + jnp.sum(w1)
+            return
         # the ONE relayout: (sc, h, Kp) -> (h, sc*Kp), then the narrow y dot
         w2 = jnp.transpose(w1.reshape(sc, h, Kp), (1, 0, 2)).reshape(
             h, sc * Kp)
-        out_r[:, :] = _split_dot3(cya_r[:, :], w2)  # (K, sc*Kp)
+        if "dot1" in _ablate:
+            out_r[:, :] = jnp.dot(cya_r[:, :], w2, precision=_DEF,
+                                  preferred_element_type=jnp.float32)
+        else:
+            out_r[:, :] = _split_dot3(cya_r[:, :], w2)  # (K, sc*Kp)
 
     return kernel
 
@@ -184,11 +209,19 @@ def phik_from_grid_pallas(data, g0, domain, K: int, grid_samples,
                           occupied_threshold: float = 0.65,
                           eps: float = 1e-6, sc: int | None = None,
                           interpret=None, blur_mode: str = "xdot",
-                          frontier_cells: int = 0):
+                          frontier_cells: int = 0,
+                          _ablate: frozenset = frozenset()):
     """Batched MI target coefficients straight from the (S, h, w) beliefs.
 
     Args:
-        data: (S, h, w) belief batch (native layout; no packing needed).
+        data: (S, h, w) belief batch (native layout; no packing needed), OR
+            the same batch already lane-padded to (S, h, wp) with ARBITRARY
+            margin values — the TRUE width comes from ``g0``, every
+            contraction/blur matrix is built at that width (zero rows/cols
+            beyond it), so margin cells contribute exactly nothing and the
+            result is bit-identical to the unpadded call. Carrying the
+            padded layout across ticks skips the per-call XLA pad
+            (~0.5 ms at S=4096 on v5e — round-5 measurement).
         g0: scenario-0 GridMap (geometry only — shared-geometry contract,
             same as the dense path).
         domain: shared (unbatched) exploration domain.
@@ -197,7 +230,9 @@ def phik_from_grid_pallas(data, g0, domain, K: int, grid_samples,
     """
     from ergodic_exploration_tpu.ops import basis
 
-    S, h, w = data.shape
+    S, h, w = data.shape[0], g0.shape[0], g0.shape[1]
+    if data.shape[1] != h:
+        raise ValueError(f"data rows {data.shape[1]} != grid height {h}")
     nsx, nsy = grid_samples
     r = sensor_radius_cells
     if sc is None:
@@ -215,13 +250,19 @@ def phik_from_grid_pallas(data, g0, domain, K: int, grid_samples,
         g0, domain, K, grid_samples, r, Kp, wp)
 
     # lane-pad the beliefs once in XLA (a contiguous last-dim pad, ~BW-rate;
-    # minor-dim-100 Pallas blocks measured ~8x off the DMA floor on v5e).
-    # Pad VALUE is irrelevant: BxT/cxA pad rows are zero and z(pad)=0.
-    if wp != w:
+    # minor-dim-100 Pallas blocks measured ~8x off the DMA floor on v5e) —
+    # unless the caller already carries the padded layout. Margin VALUES are
+    # irrelevant either way: every matrix row/col beyond the true width is
+    # zero, so the margin contributes exactly nothing.
+    if data.shape[-1] == wp:
+        datap = data
+    elif data.shape[-1] == w:
         datap = jnp.pad(data, ((0, 0), (0, 0), (0, wp - w)),
                         constant_values=1.0)
     else:
-        datap = data
+        raise ValueError(
+            f"belief width {data.shape[-1]} is neither the grid width {w} "
+            f"nor its lane-padded width {wp}")
 
     fc = frontier_cells
     in_specs = [
@@ -242,7 +283,8 @@ def phik_from_grid_pallas(data, g0, domain, K: int, grid_samples,
         operands.append(FxT)
     out = pl.pallas_call(
         _make_kernel(sc, h, w, wp, K, Kp, r, occupied_threshold,
-                     eps, blur_mode if r > 0 else "rolls", fc=fc),
+                     eps, blur_mode if r > 0 else "rolls", fc=fc,
+                     _ablate=_ablate),
         grid=(S // sc,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((K, sc * Kp), lambda i: (0, i),

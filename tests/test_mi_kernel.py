@@ -85,3 +85,51 @@ def test_mi_kernel_full_tick_matches(radius=3):
                                rtol=2e-4, atol=5e-5)
     np.testing.assert_array_equal(np.asarray(d_k.collision_code),
                                   np.asarray(d_ref.collision_code))
+
+
+def test_mi_kernel_padded_layout_matches_unpadded():
+    """Round 5: beliefs carried in the lane-padded (S, h, 128) storage
+    layout (arbitrary margin values) must produce BIT-identical phi_k — the
+    true width comes from g0 and every matrix row/col beyond it is zero."""
+    grids = _grids()
+    cfg = default_config("cart").replace(num_basis=6, grid_samples=(23, 23))
+    g0 = jax.tree.map(lambda a: a[0], grids)
+    ref = jax.jit(lambda b: phik_from_grid_pallas(
+        b, g0, DOM, cfg.num_basis, cfg.grid_samples,
+        sensor_radius_cells=2, frontier_cells=3))(grids.data)
+    rng = np.random.default_rng(0)
+    S, h, w = grids.data.shape
+    wp = -(-w // 128) * 128
+    margin = rng.uniform(-1.0, 1.0, (S, h, wp - w)).astype(np.float32)
+    padded = jnp.concatenate([grids.data, jnp.asarray(margin)], axis=-1)
+    out = jax.jit(lambda b: phik_from_grid_pallas(
+        b, g0, DOM, cfg.num_basis, cfg.grid_samples,
+        sensor_radius_cells=2, frontier_cells=3))(padded)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_replan_refresh_mi_padded_data_matches():
+    """engine.replan_refresh_mi with padded_data == the unpadded kernel
+    path (what bench.py's MI metric rides)."""
+    S = 8
+    grids = _grids(S)
+    cfg = default_config("cart").replace(
+        num_basis=6, grid_samples=(23, 23), buffer_capacity=64)
+    eng = Engine(cfg)
+    rng = np.random.default_rng(1)
+    x0 = np.concatenate(
+        [rng.uniform(0.3, 1.7, (S, 2)), rng.uniform(-3, 3, (S, 1))], axis=1
+    ).astype(np.float32)
+    world = eng.prepare_world(grids)
+    wp = -(-grids.data.shape[-1] // 128) * 128
+    padded = jnp.pad(grids.data,
+                     ((0, 0), (0, 0), (0, wp - grids.data.shape[-1])),
+                     constant_values=1.0)
+    outs = {}
+    for p in (None, padded):
+        sc = eng.init_scenarios(x0)
+        sc, u, diag = eng.replan_refresh_mi(
+            sc, grids, world, sensor_radius_cells=2, domain=DOM,
+            use_mi_kernel=True, padded_data=p)
+        outs[p is None] = np.asarray(u)
+    np.testing.assert_array_equal(outs[False], outs[True])

@@ -357,3 +357,42 @@ def test_lazy_dwa_matches_eager_where_active():
     np.testing.assert_array_equal(act_l, act_e)
     np.testing.assert_allclose(u_l, u_e, rtol=1e-6, atol=1e-7)
     np.testing.assert_array_equal(feas_l[act_l], feas_e[act_e])
+
+
+def test_fused_orbit_guard_matches_vmapped():
+    """Round 5: the orbit guard (warm-start reset on closed orbits) must
+    fire identically on the fused path — including the shared-draw
+    piggyback read — and on the vmapped controller. Scenario 0 is doctored
+    into a saturated orbit (full buffer at one spot, curled U); scenario 1
+    keeps a healthy straight history."""
+    cfg, domain, x0, grids, gmm = _case("cart", S=8)
+    cfg = cfg.replace(shared_history_draw=True)
+    outs = {}
+    for fused in (False, True):
+        eng = Engine(cfg.replace(use_fused_solve=fused, shared_maps=fused))
+        sc = eng.init_scenarios(x0)
+        cap = cfg.buffer_capacity
+        # all scenarios: full buffer (counts must stay uniform under the
+        # shared-draw contract); scenario 0 parked at its pose, others on a
+        # straight line through theirs
+        states = np.zeros((8, 2, cap), np.float32)
+        states[0] = x0[0, :2][:, None]
+        for s in range(1, 8):
+            states[s, 0] = x0[s, 0] + np.linspace(-1.0, 0.0, cap)
+            states[s, 1] = x0[s, 1]
+        buf = sc.state.buffer._replace(
+            states=jnp.asarray(states),
+            cursor=jnp.zeros((8,), jnp.int32),
+            count=jnp.full((8,), cap, jnp.int32),
+        )
+        U = jnp.asarray(
+            np.tile(np.array([[1.0, -1.0]], np.float32), (cfg.horizon, 1))
+        )[None].repeat(8, 0)
+        sc = sc._replace(state=sc.state._replace(buffer=buf, U=U))
+        phik = eng.phik_from_gmm(gmm, domain)
+        world = eng.prepare_world(grids)
+        sc2, u, diag = eng.replan(sc, phik, world)
+        outs[fused] = (np.asarray(u), np.asarray(diag.orbit_reset))
+    assert outs[True][1][0] and not outs[True][1][1:].any()
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
+    np.testing.assert_allclose(outs[True][0], outs[False][0], atol=5e-5)
