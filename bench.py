@@ -209,6 +209,13 @@ def _run():
         "vs_baseline": round(solves_per_s / target_per_chip, 2),
         "mi_solves_per_s_per_chip": round(mi_solves_per_s, 1),
         "mi_vs_gmm_tick": round(mi_solves_per_s / solves_per_s, 3),
+        # round-5 semantics marker: the MI target is frontier-masked
+        # (mi_frontier_cells default) — heavier per-tick work than the
+        # round-<=4 unmasked target, so cross-round MI comparisons must
+        # account for it (docs/PERFORMANCE.md round 5)
+        "mi_frontier_cells": __import__(
+            "ergodic_exploration_tpu.config", fromlist=["default_config"]
+        ).default_config("cart").mi_frontier_cells,
         "p50_replan_latency_ms": round(lat["p50"], 3),
         "p99_replan_latency_ms": round(lat["p99"], 3),
         "latency_spread_ms": [round(lat["min"], 3), round(lat["max"], 3)],

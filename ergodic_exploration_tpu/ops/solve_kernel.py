@@ -41,6 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ergodic_exploration_tpu.ops.patch import FAR  # scalar: fine to close over
 
+# Shared-draw history-reduction strategy: "broadcast" (VPU multiply-reduce,
+# round-3 choice) or "gemm" (batched narrow matmul, no big intermediate) —
+# A/B-able on hardware (tools/tpu_histred.py); value parity ~1e-7 either way.
+_HIST_RED_MODE = "broadcast"
+
 
 @dataclass(frozen=True)
 class SolveParams:
@@ -813,12 +818,16 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world,
         def hist_red(sb, w, dom):
             hkl = basis.hk_norm(K, dom.lengths)
             Cbx, Cby = basis.cos_tables(sb, K, dom)
-            # broadcast-multiply-reduce, NOT a (K, nb)@(nb, K) matmul: a
-            # 10-wide/10-tall GEMM fills ~1% of the MXU (the narrow-K trap)
-            # while this fuses into one VPU pass over (nb, K, K) products;
-            # fp32 accumulation either way (~1e-7 vs the vmapped HIGHEST
-            # matmul, inside the parity budget)
-            s = jnp.sum(Cbx[:, :, None] * Cby[:, None, :], axis=0)  # (K, K)
+            if _HIST_RED_MODE == "gemm":
+                # batched narrow (K, nb)@(nb, K) dot: terrible MXU fill but
+                # only ~82 MFLOP total at S=4096 and — the point — NO
+                # (S, nb, K, K) f32 intermediate through HBM (the
+                # broadcast-reduce materialized ~164 MB; measured +0.37 ms
+                # of the ring-history cost at HEAD, round-5 ablation)
+                s = jnp.matmul(Cbx.T, Cby,
+                               precision=jax.lax.Precision.HIGHEST)
+            else:  # "broadcast" (round-3 default)
+                s = jnp.sum(Cbx[:, :, None] * Cby[:, None, :], axis=0)  # (K, K)
             return s * (w / hkl)
 
         hist_sum = jax.vmap(hist_red)(

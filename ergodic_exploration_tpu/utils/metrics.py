@@ -34,6 +34,9 @@ def summarize(diag, elapsed_s: Optional[float] = None) -> dict:
             np.asarray(diag.dwa_active) & ~np.asarray(diag.dwa_feasible),
             np.float64).mean()),
         "diverged_rate": float(np.asarray(diag.diverged, np.float64).mean()),
+        # round-5 failure detection: how often the orbit guard reset a
+        # scenario's warm start (closed-orbit attractor of the replan map)
+        "orbit_reset_rate": float(np.asarray(diag.orbit_reset, np.float64).mean()),
         "collision_warn_rate": float((np.asarray(diag.collision_code) == 1).mean()),
         "collision_crash_rate": float((np.asarray(diag.collision_code) >= 2).mean()),
         "solves": int(em.size),
