@@ -152,7 +152,9 @@ def bench_throughput_mi(S=4096, iters=50, sensor_radius_cells=3):
     sc, u, diag = step(sc, grids, world, padded)  # compile + warm
     float(u.sum())
     dt, sc = _run_chain(step, sc, grids, world, padded, iters=iters)
-    return S * iters / dt
+    # the semantics marker reports the BENCHED engine's actual config value
+    # (round-5 review: a default-read here could silently disagree)
+    return S * iters / dt, engine.config.mi_frontier_cells
 
 
 def bench_latency(n=256, reps=24, group=8):
@@ -199,7 +201,7 @@ def _run():
 
     dev = jax.devices()[0]
     solves_per_s = bench_throughput()
-    mi_solves_per_s = bench_throughput_mi()
+    mi_solves_per_s, mi_fc = bench_throughput_mi()
     lat = bench_latency()
     target_per_chip = 4096.0 / 16.0  # BASELINE: 4096 solves/s on v5e-16
     return {
@@ -209,13 +211,12 @@ def _run():
         "vs_baseline": round(solves_per_s / target_per_chip, 2),
         "mi_solves_per_s_per_chip": round(mi_solves_per_s, 1),
         "mi_vs_gmm_tick": round(mi_solves_per_s / solves_per_s, 3),
-        # round-5 semantics marker: the MI target is frontier-masked
-        # (mi_frontier_cells default) — heavier per-tick work than the
-        # round-<=4 unmasked target, so cross-round MI comparisons must
-        # account for it (docs/PERFORMANCE.md round 5)
-        "mi_frontier_cells": __import__(
-            "ergodic_exploration_tpu.config", fromlist=["default_config"]
-        ).default_config("cart").mi_frontier_cells,
+        # round-5 semantics marker: the MI target is frontier-masked —
+        # heavier per-tick work than the round-<=4 unmasked target, so
+        # cross-round MI comparisons must account for it
+        # (docs/PERFORMANCE.md round 5); reports the benched engine's
+        # ACTUAL config value
+        "mi_frontier_cells": mi_fc,
         "p50_replan_latency_ms": round(lat["p50"], 3),
         "p99_replan_latency_ms": round(lat["p99"], 3),
         "latency_spread_ms": [round(lat["min"], 3), round(lat["max"], 3)],
@@ -227,21 +228,20 @@ def _run():
     }
 
 
-def _last_recorded_run():
-    """The newest recorded bench result (no hardcoded constants — VERDICT r3
-    weak 1: a literal here rotted two rounds in a row).
-
-    Precedence (ADVICE r4): the highest ROUND number wins; within a round
-    the driver-written BENCH_r*.json is canonical and beats BENCH_LOCAL_r*
-    (LOCAL runs can sample a degraded claim lease). The chosen source file
-    is tagged in the output so a regression flag is traceable.
+def newest_recorded_bench(root=None):
+    """(round, parsed_record, source_name) of the newest recorded bench
+    artifact, or (None, {}, None). Precedence (ADVICE r4): the highest
+    ROUND number wins; within a round the driver-written BENCH_r*.json is
+    canonical and beats BENCH_LOCAL_r* (LOCAL runs can sample a degraded
+    claim lease). Shared by the watchdog fallback below and
+    tools/sync_docs.py so the rule lives in exactly one place.
     """
     import glob
     import os
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    best_key, out = (-1, 0), {}
+    here = root or os.path.dirname(os.path.abspath(__file__))
+    best_key, best = (-1, 0), (None, {}, None)
     for path in glob.glob(os.path.join(here, "BENCH*_r*.json")):
         name = os.path.basename(path)
         m = re.match(r"BENCH(_LOCAL)?_r(\d+)\.json$", name)
@@ -256,13 +256,21 @@ def _last_recorded_run():
         except Exception:
             continue
         if rec.get("value"):
-            best_key = key
-            out = {
-                "value": rec["value"],
-                "p50_replan_latency_ms": rec.get("p50_replan_latency_ms"),
-                "source": name,
-            }
-    return out
+            best_key, best = key, (int(m.group(2)), rec, name)
+    return best
+
+
+def _last_recorded_run():
+    """The newest recorded bench result (no hardcoded constants — VERDICT r3
+    weak 1: a literal here rotted two rounds in a row)."""
+    rnd, rec, name = newest_recorded_bench()
+    if not rec:
+        return {}
+    return {
+        "value": rec["value"],
+        "p50_replan_latency_ms": rec.get("p50_replan_latency_ms"),
+        "source": name,
+    }
 
 
 def main():

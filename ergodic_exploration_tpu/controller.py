@@ -99,6 +99,11 @@ def orbit_guard(cfg: EngineConfig, buffer: RingBuffer, p_now):
     if W <= 0:
         return jnp.zeros((), dtype=bool)
     cap = buffer.capacity
+    # effective window clamps to the ring capacity: count saturates there,
+    # so a larger configured window would make the guard silently inert
+    # (round-5 review finding) — clamping keeps it armed at the longest
+    # observable displacement baseline instead
+    W = min(W, cap)
     idx = (buffer.cursor - W) % cap
     hot = (jnp.arange(cap) == idx).astype(buffer.states.dtype)
     prev = jnp.matmul(buffer.states, hot,

@@ -546,7 +546,8 @@ class Engine:
         def block(grids_blk, pts_blk, D_blk):
             def vals_one(g):
                 info = target_ops.mutual_information_map(
-                    g, sensor_radius_cells, cfg.mi_frontier_cells)
+                    g, sensor_radius_cells, cfg.mi_frontier_cells,
+                    cfg.occupied_threshold)
                 return jnp.maximum(target_ops.sample_map_at(info, g, pts_blk), 0.0)
 
             vals = jax.vmap(vals_one)(grids_blk)  # (S_blk, N_blk)
@@ -579,6 +580,7 @@ class Engine:
             g, cfg.num_basis, cfg.grid_samples,
             sensor_radius_cells=sensor_radius_cells,
             frontier_cells=cfg.mi_frontier_cells,
+            occupied_threshold=cfg.occupied_threshold,
         )
 
     def _phik_grid_batch_dense_fn(self, grids: GridMap, domain: Domain,
@@ -628,7 +630,8 @@ class Engine:
 
         info = target_ops.entropy(grids.prob())  # (S, h, w), unblurred
         fc = cfg.mi_frontier_cells
-        zfree = (~grids.occupied()).astype(jnp.float32)  # (S, h, w)
+        occ_t = cfg.occupied_threshold
+        zfree = (~grids.occupied(occ_t)).astype(jnp.float32)  # (S, h, w)
         # blurred info at the lattice, scaled by (2r+1)^2 (cancels below):
         # sampled[s, ix, iy] = (Axb info[s]^T Ayb^T)[ix, iy]
         t1 = jnp.matmul(info, Axb.T, precision=_HI,
@@ -648,7 +651,7 @@ class Engine:
             # (Ax @ Fx, small ints <= (2fc+1)^2, bf16-exact) and
             # thresholded at the lattice: sample(adj (.) blur(E)) ==
             # (sample counts > 0) (.) sample(blur(E)) exactly.
-            kf = ((grids.data >= 0.0) & (~grids.occupied())).astype(jnp.float32)
+            kf = ((grids.data >= 0.0) & (~grids.occupied(occ_t))).astype(jnp.float32)
             Axf = jnp.matmul(Ax, target_ops.blur_count_matrix(w, fc),
                              precision=_DEF)  # (nsx, w)
             Ayf = jnp.matmul(Ay, target_ops.blur_count_matrix(h, fc),
@@ -906,6 +909,7 @@ class Engine:
                 grids.data if padded_data is None else padded_data,
                 g0, domain, self.config.num_basis,
                 self.config.grid_samples, sensor_radius_cells,
+                occupied_threshold=self.config.occupied_threshold,
                 frontier_cells=self.config.mi_frontier_cells,
             )
         elif domain is not None and domain.origin.ndim == 1:

@@ -143,7 +143,10 @@ class ExplorationNode:
             if self._grid is None:
                 phi = target_ops.normalize_phi(jnp.ones(pts.shape[0]))
             else:
-                phi = target_ops.mi_target_values(self._grid, pts)
+                phi = target_ops.mi_target_values(
+                    self._grid, pts,
+                    frontier_cells=cfg.mi_frontier_cells,
+                    occupied_threshold=cfg.occupied_threshold)
         else:
             free_mask = None
             if self._grid is not None:

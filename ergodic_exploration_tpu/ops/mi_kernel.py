@@ -167,14 +167,17 @@ def _make_kernel(sc: int, h: int, w: int, wp: int, K: int, Kp: int, r: int,
     return kernel
 
 
-def _pick_sc(S: int, h: int = 100, wp: int = 128) -> int:
+def _pick_sc(S: int, h: int = 100, wp: int = 128, fc: int = 0) -> int:
     # Largest scenario chunk whose kernel fits the 16 MB scoped-VMEM stack:
     # the block plus ~8 live (sc*h, wp) f32 intermediates (ADVICE r4: sized
     # by the ACTUAL grid shape, not the h=w=100 default — a 200x200 grid at
-    # sc=32 previously surfaced only as a Mosaic compile failure).
+    # sc=32 previously surfaced only as a Mosaic compile failure). The
+    # frontier stage (fc > 0) keeps ~4 more live (kf, c1, cnt, roll
+    # temporaries) — round-5 review finding.
     budget = 15 * 2**20
+    live = 13 if fc > 0 else 9
     for sc in (32, 16, 8, 4, 2):
-        if S % sc == 0 and 9 * sc * h * wp * 4 <= budget:
+        if S % sc == 0 and live * sc * h * wp * 4 <= budget:
             return sc
     return 1
 
@@ -236,7 +239,7 @@ def phik_from_grid_pallas(data, g0, domain, K: int, grid_samples,
     nsx, nsy = grid_samples
     r = sensor_radius_cells
     if sc is None:
-        sc = _pick_sc(S, h, -(-w // 128) * 128)
+        sc = _pick_sc(S, h, -(-w // 128) * 128, frontier_cells)
     if S % sc:
         raise ValueError(f"S={S} not divisible by sc={sc}")
     Kp = 128  # padded K: same MXU cost as any width <= 128

@@ -797,7 +797,8 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world,
             # one extra column selects the pose orbit_window ticks back
             # (cursor is shared under the draw contract — scenarios tick
             # together); rides the same GEMM for ~free
-            oidx = (state.buffer.cursor[0] - cfg.orbit_window) % cap
+            ow = min(cfg.orbit_window, cap)  # controller.orbit_guard clamp
+            oidx = (state.buffer.cursor[0] - ow) % cap
             ohot = (jnp.arange(cap) == oidx).astype(jnp.float32)[:, None]
             onehot = jnp.concatenate([onehot, ohot], axis=1)  # (cap, nb+1)
         # ONE flat (S*2, cap) @ (cap, nb) GEMM — the batched (2, cap) row
@@ -807,9 +808,9 @@ def replan_batched_fused(cfg, model, state, x, vb, phik, world,
             precision=jax.lax.Precision.HIGHEST,
         ).reshape(S, 2, -1)
         if guard_piggyback:
-            prev = s_all[:, :, nb]  # (S, 2) pose orbit_window ticks ago
+            prev = s_all[:, :, nb]  # (S, 2) pose ow ticks ago
             disp2 = jnp.sum((x[:, :2] - prev) ** 2, axis=-1)
-            orbiting = (state.buffer.count >= cfg.orbit_window) & (
+            orbiting = (state.buffer.count >= ow) & (
                 disp2 < cfg.orbit_eps * cfg.orbit_eps)
             s_all = s_all[:, :, :nb]
         s_buf = jnp.transpose(s_all, (0, 2, 1))  # (S, nb, 2)

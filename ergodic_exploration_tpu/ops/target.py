@@ -92,7 +92,7 @@ def _box_blur_1d(img, radius: int, axis: int):
     return (hi - lo) / (2 * radius + 1)
 
 
-def frontier_adjacency(grid, cells: int):
+def frontier_adjacency(grid, cells: int, occupied_threshold: float = 0.65):
     """0/1 mask of cells within ``cells`` (Chebyshev distance, edge-clamped
     windows) of a KNOWN-FREE cell; (..., H, W) float.
 
@@ -109,13 +109,15 @@ def frontier_adjacency(grid, cells: int):
     small-integer :func:`blur_count_matrix` matmuls (counts <= (2c+1)^2 = 49
     at the default radius — bf16-exact).
     """
-    kf = ((grid.data >= 0.0) & (~grid.occupied())).astype(jnp.float32)
+    kf = ((grid.data >= 0.0)
+          & (~grid.occupied(occupied_threshold))).astype(jnp.float32)
     cnt = _box_blur_1d(_box_blur_1d(kf, cells, -1), cells, -2)
     return (cnt * float((2 * cells + 1) ** 2) > 0.5).astype(jnp.float32)
 
 
 def mutual_information_map(grid, sensor_radius_cells: int = 0,
-                           frontier_cells: int = 0):
+                           frontier_cells: int = 0,
+                           occupied_threshold: float = 0.65):
     """Per-cell information value of the map: entropy of the occupancy
     probability, optionally blurred by a box sensor-footprint kernel so a
     pose is credited with the information visible around it; (H, W).
@@ -134,8 +136,8 @@ def mutual_information_map(grid, sensor_radius_cells: int = 0,
     h = entropy(grid.prob())
     h = _box_blur_1d(_box_blur_1d(h, sensor_radius_cells, -1), sensor_radius_cells, -2)
     if frontier_cells > 0:
-        h = h * frontier_adjacency(grid, frontier_cells)
-    return jnp.where(grid.occupied(), 0.0, h)
+        h = h * frontier_adjacency(grid, frontier_cells, occupied_threshold)
+    return jnp.where(grid.occupied(occupied_threshold), 0.0, h)
 
 
 def sample_map_at(values, grid, points):
@@ -145,7 +147,8 @@ def sample_map_at(values, grid, points):
 
 
 def mi_target_values(grid, points, sensor_radius_cells: int = 0,
-                     frontier_cells: int = 0):
+                     frontier_cells: int = 0,
+                     occupied_threshold: float = 0.65):
     """phi values at sample points from the current occupancy grid,
     normalized to sum 1 — recomputed each replan as the grid evolves
     (BASELINE config 4).
@@ -155,14 +158,16 @@ def mi_target_values(grid, points, sensor_radius_cells: int = 0,
     (Engine.phik_from_grid, replan_refresh_mi) uses
     :func:`phik_from_grid_separable`, which never gathers.
     """
-    info = mutual_information_map(grid, sensor_radius_cells, frontier_cells)
+    info = mutual_information_map(grid, sensor_radius_cells, frontier_cells,
+                                  occupied_threshold)
     vals = sample_map_at(info, grid, points)
     return normalize_phi(vals)
 
 
 def phik_from_grid_separable(grid, K: int, grid_samples, domain=None,
                              sensor_radius_cells: int = 0, eps: float = 1e-12,
-                             frontier_cells: int = 0):
+                             frontier_cells: int = 0,
+                             occupied_threshold: float = 0.65):
     """Gather-free MI target coefficients phi_k from one occupancy grid —
     the TPU-native config-4 per-tick refresh (reference capability:
     the information-map target recomputed each replan, SURVEY.md sections 3
@@ -192,7 +197,8 @@ def phik_from_grid_separable(grid, K: int, grid_samples, domain=None,
     from ergodic_exploration_tpu.ops import basis
 
     _EXACT = jax.lax.Precision.HIGHEST
-    info = mutual_information_map(grid, sensor_radius_cells, frontier_cells)  # (H, W)
+    info = mutual_information_map(grid, sensor_radius_cells, frontier_cells,
+                                  occupied_threshold)  # (H, W)
     dom = grid.domain() if domain is None else domain
     nsx, nsy = grid_samples
     h, w = grid.shape

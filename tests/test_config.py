@@ -154,3 +154,24 @@ def test_yaml_loader_from_file(tmp_path):
     assert cfg.omni.wheel_radius == 0.1
     assert cfg.horizon == 25
     assert cfg.nu == 4
+
+
+def test_orbit_window_clamps_to_small_buffers():
+    """RingBuffer.count saturates at capacity, so an orbit_window above it
+    would make the guard silently inert (round-5 review finding) — the
+    guard clamps its effective window to the capacity and stays armed."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ergodic_exploration_tpu.controller import orbit_guard
+    from ergodic_exploration_tpu.ops.buffer import RingBuffer
+
+    cfg = default_config("cart").replace(
+        buffer_capacity=32, orbit_window=64).validate()
+    states = np.tile(np.array([[1.0], [1.0]], np.float32), (1, 32))
+    buf = RingBuffer(states=jnp.asarray(states),
+                     cursor=jnp.asarray(5, jnp.int32),
+                     count=jnp.asarray(32, jnp.int32))
+    assert bool(orbit_guard(cfg, buf, jnp.asarray([1.0, 1.0])))
+    off = cfg.replace(orbit_window=0)
+    assert not bool(orbit_guard(off, buf, jnp.asarray([1.0, 1.0])))

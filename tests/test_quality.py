@@ -172,3 +172,41 @@ def test_default_config_explores_multiroom_map():
     # still discovering in the second half (regression = early plateau)
     assert covs[-1] - covs[len(covs) // 2] > 0.02, (
         f"coverage plateaued: {covs[len(covs) // 2]:.3f} -> {covs[-1]:.3f}")
+
+
+def test_frontier_respects_occupied_threshold():
+    """The MI/frontier target must use the CONFIG's occupied_threshold, not
+    the 0.65 default (round-5 review finding): cells between the two
+    thresholds are obstacles to the safety layer and must carry no target
+    mass or frontier seeding."""
+    data = np.full((20, 20), -1.0, np.float32)
+    data[:, :6] = 0.0
+    data[:, 6:9] = 0.55  # occupied at threshold 0.5, free at 0.65
+    g = GridMap(jnp.asarray(data), jnp.zeros(2, jnp.float32),
+                jnp.asarray(0.05, jnp.float32))
+    info = np.asarray(target_ops.mutual_information_map(
+        g, frontier_cells=2, occupied_threshold=0.5))
+    assert (info[:, 6:9] == 0.0).all()  # no mass on 0.55 cells
+    # unknown cells adjacent ONLY to the 0.55 band must not be seeded
+    assert (info[:, 10:] == 0.0).all()
+    # engine dense path honors the config value the same way
+    from ergodic_exploration_tpu.grid import Domain
+
+    grids = GridMap(jnp.asarray(data)[None], jnp.zeros((1, 2), jnp.float32),
+                    jnp.full((1,), 0.05, jnp.float32))
+    cfg = default_config("cart").replace(
+        num_basis=5, grid_samples=(20, 20), occupied_threshold=0.5,
+        mi_frontier_cells=2)
+    eng = Engine(cfg)
+    dom = Domain.create(0.0, 0.0, 1.0, 1.0)
+    p_den = np.asarray(eng.phik_from_grid(grids, domain=dom))[0]
+    p_sep = np.asarray(eng.phik_from_grid(grids))[0]
+    np.testing.assert_allclose(p_den, p_sep, atol=2e-5)
+    from ergodic_exploration_tpu.ops import basis
+
+    pts = dom.sample_lattice((20, 20))
+    vals = target_ops.mi_target_values(g, pts, frontier_cells=2,
+                                       occupied_threshold=0.5)
+    ck = np.asarray(basis.coefficients(
+        basis.tables(pts, 5, dom), vals, basis.hk_norm(5, dom.lengths)))
+    np.testing.assert_allclose(ck, p_sep, atol=2e-5)

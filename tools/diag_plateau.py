@@ -141,5 +141,13 @@ if __name__ == "__main__":
     kv = {}
     for a in sys.argv[4:]:
         k, v = a.split("=", 1)
-        kv[k] = float(v) if "." in v or "e" in v else int(v)
+        for cast in (int, float):
+            try:
+                kv[k] = cast(v)
+                break
+            except ValueError:
+                continue
+        else:
+            low = v.strip().lower()
+            kv[k] = (low == "true") if low in ("true", "false") else v
     main(S, T, tag=tag, **kv)

@@ -8,8 +8,6 @@ Run before the final commit of a round:
     python tools/sync_docs.py --check  # check only (CI style)
 """
 
-import glob
-import json
 import os
 import re
 import sys
@@ -18,25 +16,15 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def newest_bench():
-    """(round, record) with canonical-over-LOCAL precedence (bench.py)."""
-    best_key, best = (-1, 0), None
-    for path in glob.glob(os.path.join(HERE, "BENCH*_r*.json")):
-        m = re.match(r"BENCH(_LOCAL)?_r(\d+)\.json$", os.path.basename(path))
-        if not m:
-            continue
-        key = (int(m.group(2)), 0 if m.group(1) else 1)
-        if key <= best_key:
-            continue
-        try:
-            with open(path) as f:
-                rec = json.load(f).get("parsed", {})
-        except Exception:
-            continue
-        if rec.get("value"):
-            best_key, best = key, (rec, os.path.basename(path))
-    if best is None:
+    """(round, record, source) — bench.py's canonical-over-LOCAL precedence
+    (one shared implementation; round-5 review finding)."""
+    sys.path.insert(0, HERE)
+    from bench import newest_recorded_bench
+
+    rnd, rec, name = newest_recorded_bench(HERE)
+    if not rec:
         raise SystemExit("no BENCH*_r*.json with a parsed value found")
-    return best_key[0], best[0], best[1]
+    return rnd, rec, name
 
 
 def _fmt_k(v: float) -> str:
